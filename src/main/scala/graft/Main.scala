@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.data.{PagesGen, QuerySet}
+import graft.index.{DocIds, IndexBuilder}
+import graft.query.{QuerySpec, Searcher}
+
+/** spark-submit entrypoint for the engine (north rule: "runs via
+  * spark-submit on multi-executor clusters").
+  *
+  * {{{
+  *   spark-submit --class graft.Main app.jar gen     <n> <outDir>
+  *   spark-submit --class graft.Main app.jar build   <pagesDir|gen:N> <indexDir> [numBuckets] [saltTarget]
+  *   spark-submit --class graft.Main app.jar search  <indexDir> <k> <query...>
+  *   spark-submit --class graft.Main app.jar queryset <indexDir> <k>
+  * }}}
+  *
+  * Locally (no spark-submit): `sbt "runMain graft.Main <cmd> ..."` —
+  * the session falls back to local[*].
+  */
+object Main {
+
+  def session(): SparkSession = {
+    val b = SparkSession.builder().appName("graft")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    val withMaster = // spark-submit injects a master; default for CLI use
+      if (sys.props.contains("spark.master") || sys.env.contains("MASTER")) b
+      else b.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+        .config("spark.ui.enabled", "false")
+    val s = withMaster.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val spark = session()
+    val t0 = System.nanoTime()
+    args(0) match {
+      case "gen" =>
+        val n = args(1).toLong
+        PagesGen.pages(spark, n).write.mode("overwrite").parquet(args(2))
+        println(s"wrote $n pages to ${args(2)}")
+
+      case "build" =>
+        val src = args(1)
+        val indexDir = args(2)
+        val numBuckets = if (args.length > 3) args(3).toInt else 32
+        val saltTarget = if (args.length > 4) args(4).toLong else 250000L
+        val pages =
+          if (src.startsWith("gen:"))
+            PagesGen.pages(spark, src.stripPrefix("gen:").toLong)
+          else {
+            import spark.implicits._
+            spark.read.parquet(src).as[graft.data.PageRow]
+          }
+        val docs = DocIds.fromPages(pages,
+          spark.sessionState.conf.numShufflePartitions,
+          useExtractor = true)
+        val nDocs = docs.count()
+        val cfg = IndexBuilder.Config(numBuckets = numBuckets,
+          saltTarget = saltTarget)
+        val stats = IndexBuilder.build(docs, indexDir, cfg,
+          buildId = s"cli-${System.currentTimeMillis()}",
+          resume = true, lineage = src)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"built index: docs=${stats.numDocs} terms=${stats.numTerms} " +
+          f"avgdl=${stats.avgdl}%.2f buckets=${stats.numBuckets} " +
+          f"in $secs%.1fs (${nDocs / secs}%.0f docs/sec)")
+
+      case "search" =>
+        val indexDir = args(1)
+        val k = args(2).toInt
+        val q = args.drop(3).mkString(" ")
+        val hits = Searcher.search(spark, indexDir,
+          Seq(QuerySpec(0L, q)), k)
+        val withUrls = Searcher.withUrls(spark, indexDir, hits)
+        val secs = (System.nanoTime() - t0) / 1e9
+        withUrls.collect().sortBy(_._2).foreach { case (_, r, d, s, u) =>
+          println(f"$r%2d. doc=$d%-8d score=$s%.4f  $u")
+        }
+        println(f"query '$q' took $secs%.2fs total (incl. session)")
+
+      case "queryset" =>
+        val indexDir = args(1)
+        val k = args(2).toInt
+        val qs = QuerySet.queries()
+        val hits = Searcher.search(spark, indexDir, qs, k).collect()
+        qs.foreach { q =>
+          val top = hits.filter(_.queryId == q.queryId).sortBy(_.rank)
+          println(s"q${q.queryId} '${q.text}': " +
+            top.map(h => f"${h.docId}:${h.score}%.3f").mkString(" "))
+        }
+
+      case other =>
+        System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
+    }
+    spark.stop()
+  }
+
+  private def usage(): Unit = System.err.println(
+    "usage: graft.Main gen <n> <dir> | build <pagesDir|gen:N> <indexDir> " +
+      "[buckets] [saltTarget] | search <indexDir> <k> <query...> | " +
+      "queryset <indexDir> <k>")
+}

@@ -1,0 +1,88 @@
+package graft.index
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.data.PageRow
+import graft.functions.TextExtractor
+
+/** A document entering the index: stable docId + extracted text. */
+case class Doc(docId: Long, url: String, text: String)
+
+/** Stable monotonic docID assignment (SURVEY.md §7 "hard parts").
+  *
+  * docId = global rank of `url` in ascending sort order. This is stable
+  * across runs AND across parallelism levels, unlike
+  * `monotonically_increasing_id` (partition-layout dependent) — the
+  * property rank-identical goldens require.
+  *
+  * Implementation is the classic two-pass offset scan:
+  *  1. `repartitionByRange(url).sortWithinPartitions(url)` — a total
+  *     order split into P contiguous ranges (Spark's RangePartitioner
+  *     samples deterministically for a given input).
+  *  2. count rows per partition (cheap first pass over the cached
+  *     sorted data), prefix-sum the counts on the driver (P longs),
+  *     then add each partition's offset to its local rank.
+  *
+  * The per-partition counts/offsets mirror the reference's OID-range
+  * chunk computation (/root/reference/packages/core/spheraform_core/adapters/arcgis.py:896-907):
+  * an explicit, even split of a global key range across workers.
+  */
+object DocIds {
+
+  /** Assign docIds to pages; extracts text from html when
+    * `useExtractor` (exercising the byte-identical invariant) or
+    * trusts the `text` column otherwise.
+    */
+  def fromPages(pages: Dataset[PageRow], numPartitions: Int,
+                useExtractor: Boolean = false): Dataset[Doc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val docs =
+      if (useExtractor)
+        pages.map(p => (p.url, TextExtractor.extract(p.html)))
+      else
+        pages.map(p => (p.url, p.text))
+    assign(docs.toDF("url", "text"))
+  }
+
+  /** Assign docIds to any (url, text) DataFrame-shaped dataset. */
+  def assign(docs: Dataset[org.apache.spark.sql.Row],
+             numPartitions: Int = 0): Dataset[Doc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val sorted = docs
+      .select(col("url").cast("string"), col("text").cast("string"))
+      .repartitionByRange(p, col("url"))
+      .sortWithinPartitions("url")
+      .as[(String, String)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Pass 1: per-partition counts -> driver prefix sum (P longs).
+      val counts = sorted
+        .mapPartitions(it => Iterator.single(it.size))(Encoders.scalaInt)
+        .collect()
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val bc = spark.sparkContext.broadcast(offsets)
+      // Pass 2: local rank + partition offset = global rank.
+      val assigned = sorted.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var rank = bc.value(pid)
+        it.map { case (url, text) =>
+          val d = Doc(rank, url, text)
+          rank += 1
+          d
+        }
+      }
+      // Materialize before unpersisting the parent.
+      assigned.persist(StorageLevel.MEMORY_AND_DISK).count()
+      assigned
+    } finally {
+      // parent no longer needed once children are materialized
+      ()
+    }
+  }
+}

@@ -1,0 +1,271 @@
+package graft.index
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Tokenize
+import graft.query.BM25
+
+/** Builds the inverted index: tokenize → tf → salt hot terms →
+  * merge-by-term range shuffle → delta+varbyte posting blocks in
+  * term-hash-range segment files, with per-group checkpoints.
+  *
+  * Shape of the job (mirrors the reference's harvest→normalize→index
+  * loop, re-expressed as Spark stages — SURVEY.md §3.2):
+  *   stage "stats":    docs scan → doc lengths, N, avgdl, per-term df
+  *   stage "postings": tokenize+tf (map-side combine groupBy), salt,
+  *                     bucket, write staged postings partitioned by
+  *                     bucket (the scatter).
+  *   stage "segments": per bucket-group: range-shuffle on
+  *                     (termHash, docId) + sortWithinPartitions (the
+  *                     merge-by-term), streaming block encode, write
+  *                     segments partitioned by bucket. One checkpoint
+  *                     per group → resume skips completed groups.
+  *
+  * Every shuffle is explicit and keyed: groupBy(docId, term) for tf,
+  * repartitionByRange(termHash, docId) for the merge. Hot terms are
+  * salted *before* the merge shuffle so no single task ever owns a
+  * stopword's full posting list (ancestor: the reference's declared
+  * spatial-grid chunk strategy for oversized layers,
+  * /root/reference/packages/core/spheraform_core/models/job.py:141-145).
+  */
+object IndexBuilder {
+
+  /** @param numBuckets   term-hash-range segment partitions at rest
+    * @param blockSize    postings per compressed block
+    * @param numGroups    checkpoint units for the segments stage
+    * @param saltTarget   max postings per salted sub-run; terms with
+    *                     df > saltTarget are split into
+    *                     ceil(df/saltTarget) sub-runs
+    */
+  case class Config(numBuckets: Int = 32, blockSize: Int = 128,
+                    numGroups: Int = 4, saltTarget: Long = 250000L,
+                    shufflePartitions: Int = 0,
+                    /** test-only: throw after committing this group,
+                      * simulating a mid-build crash (FIXTURES.md §6) */
+                    failAfterGroup: Int = -1)
+
+  /** xxhash64 with Spark's default seed (42) — evaluated driver-side
+    * for query terms, column-side for build; both are the same
+    * Catalyst implementation so they agree exactly.
+    */
+  def xxhash(s: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    XxHash64(Seq(Literal.create(s, org.apache.spark.sql.types.StringType)),
+      42L).eval(null).asInstanceOf[Long]
+  }
+
+  def saltKey(term: String, salt: Int): String = term + "#" + salt
+  def saltOf(docId: Long, saltCount: Int): Int =
+    Math.floorMod(graft.Det.mix(docId), saltCount.toLong).toInt
+
+  def bucketOf(termHash: Long, numBuckets: Int): Int =
+    Math.floorMod(termHash, numBuckets.toLong).toInt
+
+  // ---------------------------------------------------------------- build
+
+  /** Full build. Returns global stats. Resumable: completed stages /
+    * groups (per `_checkpoints`) are skipped when `resume = true`.
+    */
+  def build(docs: Dataset[Doc], outDir: String, cfg: Config = Config(),
+            buildId: String = "build1", resume: Boolean = false,
+            lineage: String = ""): IndexStats = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ckpt = new CheckpointStore(spark, outDir)
+    val shufP =
+      if (cfg.shufflePartitions > 0) cfg.shufflePartitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    // ---- stage: stats + docs meta ---------------------------------
+    val statsDone = resume && ckpt.isComplete("stats", 0)
+    val stats: IndexStats = if (statsDone) {
+      IndexPaths.readStats(spark, outDir)
+    } else {
+      val t0 = System.currentTimeMillis()
+      val docMeta = docs
+        .select($"docId", $"url",
+          size(Tokenize.tokensCol($"text")).as("dl"))
+        .as[DocMeta]
+      docMeta.repartitionByRange(math.max(1, shufP / 2), $"docId")
+        .sortWithinPartitions("docId")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
+      val written = spark.read.parquet(s"$outDir/docs")
+      // avgdl from an INTEGER token-count sum — exact and independent
+      // of partition/summation order, unlike avg() over doubles (the
+      // rank-identity contract shares it with the scalar oracle).
+      val agg = written.agg(
+        count(lit(1)), sum($"dl".cast("long")), max($"docId")).head()
+      val n = agg.getLong(0)
+      val avgdl = if (n == 0) 0.0 else agg.getLong(1).toDouble / n
+      val maxDocId = agg.getLong(2)
+      val s = IndexStats(buildId, n, avgdl, -1L, cfg.numBuckets,
+        cfg.blockSize, maxDocId)
+      IndexPaths.writeStats(spark, outDir, s)
+      ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
+        IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,
+        System.currentTimeMillis()))
+      s
+    }
+
+    // ---- stage: staged postings (tokenize + tf + salt + bucket) ---
+    if (!(resume && ckpt.isComplete("postings", 0))) {
+      val t0 = System.currentTimeMillis()
+      // (docId, dl, term) -> tf with map-side partial aggregation.
+      val tf = docs
+        .select($"docId", Tokenize.tokensCol($"text").as("toks"))
+        .select($"docId", size($"toks").as("dl"),
+          explode($"toks").as("term"))
+        .groupBy($"docId", $"dl", $"term")
+        .agg(count(lit(1)).cast("int").as("tf"))
+      // Per-term df; hot terms (df > saltTarget) get saltCount > 1.
+      val termDf = tf.groupBy($"term")
+        .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("cf"))
+        .withColumn("saltCount",
+          when($"df" > cfg.saltTarget,
+            ceil($"df".cast("double") / cfg.saltTarget).cast("int"))
+            .otherwise(lit(1)))
+      val terms = termDf
+        .withColumn("termHash", xxhash64($"term"))
+        .select($"term", $"termHash", $"df", $"cf", $"saltCount")
+        .as[TermMeta]
+      terms.repartitionByRange(math.max(1, shufP / 4), $"termHash")
+        .sortWithinPartitions("termHash")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
+      val termsRead = spark.read.parquet(s"$outDir/terms")
+      val numTerms = termsRead.count()
+      IndexPaths.writeStats(spark, outDir, stats.copy(numTerms = numTerms))
+
+      // Salt: hot-term postings are scattered across sub-run keys by a
+      // hash of docId, so the merge shuffle sees bounded runs. The term
+      // dictionary is small relative to postings — AQE broadcasts it.
+      val salted = tf
+        .join(termsRead.select($"term", $"df", $"saltCount"), Seq("term"))
+        .select($"term", $"df", $"saltCount", $"docId", $"tf", $"dl")
+      val staged = salted.as[(String, Long, Int, Long, Int, Int)]
+        .map { case (term, df, saltCount, docId, tfv, dl) =>
+          val skey = if (saltCount > 1) saltKey(term, saltOf(docId, saltCount))
+                     else term
+          val th = xxhash(skey)
+          StagedPosting(bucketOf(th, cfg.numBuckets), th, skey, term,
+            df, docId, tfv, dl)
+        }
+      staged
+        .repartition(shufP, $"bucket", $"termHash")
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$outDir/postings_staged")
+      val nPost = spark.read.parquet(s"$outDir/postings_staged").count()
+      ckpt.commit(Checkpoint(buildId, "postings", 0, "COMPLETE", nPost,
+        IndexPaths.dirBytes(spark, s"$outDir/postings_staged"), lineage,
+        t0, System.currentTimeMillis()))
+    }
+
+    // ---- stage: segments, one checkpoint per bucket group ---------
+    val statsNow = IndexPaths.readStats(spark, outDir)
+    val bucketsPerGroup =
+      math.max(1, math.ceil(cfg.numBuckets.toDouble / cfg.numGroups).toInt)
+    for (g <- 0 until cfg.numGroups) {
+      val lo = g * bucketsPerGroup
+      val hi = math.min(cfg.numBuckets, lo + bucketsPerGroup)
+      if (lo < hi && !(resume && ckpt.isComplete("segments", g))) {
+        val t0 = System.currentTimeMillis()
+        // Clean any partial output of a previous attempt of THIS group.
+        (lo until hi).foreach { b =>
+          IndexPaths.delete(spark, s"$outDir/segments/bucket=$b")
+        }
+        val staged = spark.read.parquet(s"$outDir/postings_staged")
+          .filter($"bucket" >= lo && $"bucket" < hi)
+          .as[StagedPosting]
+        val blocks = encodeSegments(staged, statsNow, cfg)
+        blocks.write.mode(SaveMode.Append).partitionBy("bucket")
+          .parquet(s"$outDir/segments")
+        val written = spark.read.parquet(s"$outDir/segments")
+          .filter($"bucket" >= lo && $"bucket" < hi)
+        val nBlocks = written.count()
+        val bytes = (lo until hi).map(b =>
+          IndexPaths.dirBytes(spark, s"$outDir/segments/bucket=$b")).sum
+        ckpt.commit(Checkpoint(buildId, "segments", g, "COMPLETE",
+          nBlocks, bytes, lineage, t0, System.currentTimeMillis()))
+        if (cfg.failAfterGroup == g)
+          throw new RuntimeException(s"injected failure after group $g")
+      }
+    }
+    IndexPaths.readStats(spark, outDir)
+  }
+
+  /** The merge-by-term: range shuffle on (termHash, skey, docId) with
+    * in-partition sort, then a STREAMING per-partition block encoder —
+    * constant memory per task regardless of run length, because salting
+    * has already bounded each storage key's run.
+    */
+  def encodeSegments(staged: Dataset[StagedPosting], stats: IndexStats,
+                     cfg: Config): Dataset[SegmentBlock] = {
+    val spark = staged.sparkSession
+    import spark.implicits._
+    val shufP =
+      if (cfg.shufflePartitions > 0) cfg.shufflePartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val n = stats.numDocs
+    val avgdl = stats.avgdl
+    val blockSize = cfg.blockSize
+    // Range-partition on (termHash, skey) ONLY — never docId: equal
+    // keys land in one partition, so a storage key's whole run is
+    // encoded by one task and block boundaries are a pure function of
+    // the run (deterministic across runs/parallelism — ResumeSpec).
+    // Run length per key is already bounded by salting.
+    staged
+      .repartitionByRange(shufP, $"termHash", $"skey")
+      .sortWithinPartitions("termHash", "skey", "docId")
+      .mapPartitions { it =>
+        new Iterator[SegmentBlock] {
+          private var cur: StagedPosting = _
+          private var curKey: (Long, String) = null
+          private var blockId = 0
+          private val dBuf = new Array[Long](blockSize)
+          private val tBuf = new Array[Long](blockSize)
+          private val lBuf = new Array[Long](blockSize)
+          private var pending: SegmentBlock = _
+
+          private def fill(): Unit = {
+            while (pending == null && (cur != null || it.hasNext)) {
+              if (cur == null) cur = it.next()
+              val key = (cur.termHash, cur.skey)
+              if (curKey == null || key != curKey) { curKey = key; blockId = 0 }
+              val head = cur
+              var m = 0
+              var maxS = Double.NegativeInfinity
+              val idfv = BM25.idf(n, head.df)
+              var last = 0L
+              while (m < blockSize && cur != null &&
+                     cur.termHash == head.termHash && cur.skey == head.skey) {
+                dBuf(m) = cur.docId
+                tBuf(m) = cur.tf.toLong
+                lBuf(m) = cur.dl.toLong
+                val s = BM25.score(cur.tf.toLong, cur.dl.toLong, avgdl, idfv)
+                if (s > maxS) maxS = s
+                last = cur.docId
+                m += 1
+                cur = if (it.hasNext) it.next() else null
+              }
+              val first = dBuf(0)
+              pending = SegmentBlock(
+                bucketOf(head.termHash, stats.numBuckets), head.termHash,
+                head.skey, head.term, head.df, blockId, m, first, last,
+                maxS,
+                Codec.encodeDeltas(java.util.Arrays.copyOf(dBuf, m), first),
+                Codec.encodeVarByte(java.util.Arrays.copyOf(tBuf, m)),
+                Codec.encodeVarByte(java.util.Arrays.copyOf(lBuf, m)))
+              blockId += 1
+            }
+          }
+
+          override def hasNext: Boolean = { fill(); pending != null }
+          override def next(): SegmentBlock = {
+            fill()
+            val r = pending; pending = null; r
+          }
+        }
+      }
+  }
+}

@@ -1,0 +1,50 @@
+package graft.index
+
+/** Per-term dictionary entry. `termHash` is `xxhash64(term)` (Spark's
+  * built-in, seed 42); `saltCount` > 1 marks a hot term whose postings
+  * are split into `saltCount` sub-runs stored under salted keys
+  * `term#0 .. term#saltCount-1` (north-rule stopword-skew defusal).
+  */
+case class TermMeta(term: String, termHash: Long, df: Long, cf: Long,
+                    saltCount: Int)
+
+/** Document metadata for back-joins and length normalization. */
+case class DocMeta(docId: Long, url: String, dl: Int)
+
+/** A staged posting after tokenize+tf, salted and bucketed, ready for
+  * the merge-by-term range shuffle. `skey` is the storage key (term or
+  * salted term), `termHash` hashes `skey`, `df` is the document
+  * frequency of the UNSALTED term (for idf).
+  */
+case class StagedPosting(bucket: Int, termHash: Long, skey: String,
+                         term: String, df: Long, docId: Long, tf: Int,
+                         dl: Int)
+
+/** One compressed posting block: up to `blockSize` postings of one
+  * storage key, sorted by docId; docIds delta+varbyte encoded against
+  * `firstDocId`, tfs and dls varbyte. `maxScore` is the exact maximum
+  * BM25 contribution of any posting in the block — the block-max bound
+  * WAND prunes with.
+  *
+  * Analog of the reference's lossy pre-aggregation tier (PMTiles
+  * block metadata, /root/reference/packages/core/spheraform_core/storage/pmtiles_gen.py:31-131)
+  * done losslessly: metadata that lets the reader skip work.
+  */
+case class SegmentBlock(bucket: Int, termHash: Long, skey: String,
+                        term: String, df: Long, blockId: Int, n: Int,
+                        firstDocId: Long, lastDocId: Long,
+                        maxScore: Double, docIdsEnc: Array[Byte],
+                        tfsEnc: Array[Byte], dlsEnc: Array[Byte])
+
+/** Global index statistics (the `stats.json` sidecar). */
+case class IndexStats(buildId: String, numDocs: Long, avgdl: Double,
+                      numTerms: Long, numBuckets: Int, blockSize: Int,
+                      maxDocId: Long)
+
+/** Per-unit build checkpoint with lineage + metrics — the direct
+  * descendant of the reference's resumable DownloadChunk
+  * (/root/reference/packages/core/spheraform_core/models/job.py:115-167).
+  */
+case class Checkpoint(buildId: String, stage: String, unit: Int,
+                      status: String, rowCount: Long, bytes: Long,
+                      lineage: String, startedMs: Long, finishedMs: Long)

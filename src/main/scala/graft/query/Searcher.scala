@@ -1,0 +1,185 @@
+package graft.query
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Tokenize
+import graft.index.{IndexBuilder, IndexPaths, SegmentBlock, TermMeta}
+
+case class QuerySpec(queryId: Long, text: String)
+case class SearchHit(queryId: Long, rank: Int, docId: Long, score: Double)
+
+/** Distributed BM25 top-k over the term-partitioned segment files —
+  * the serve path of the loop (reference ancestor: `POST /search`,
+  * /root/reference/packages/api/spheraform_api/routers/search.py:16-77,
+  * re-expressed as a scatter/gather Spark job per the north rule).
+  *
+  * Plan for a batch of queries:
+  *   1. driver: tokenize queries (same Tokenize as the build), look up
+  *      per-term (df, saltCount) from the terms dictionary with a
+  *      termHash pushdown filter (dictionary is range-sorted by
+  *      termHash → row-group pruning),
+  *   2. scan only touched segments: partition pruning on `bucket` +
+  *      min/max pruning on `termHash` (blocks are sorted by termHash
+  *      within files),
+  *   3. scatter: each block is keyed by (queryId, docId-range); a
+  *      stopword's giant posting list is thereby split across ranges
+  *      so no single task owns it,
+  *   4. gather: per (queryId, range) task builds cursors and runs
+  *      block-max WAND (or conjunctive intersection) over a bounded
+  *      min-heap → partial top-k,
+  *   5. final merge per queryId: k·R tiny rows → exact global top-k
+  *      with the (score desc, docId asc) tie-break.
+  *
+  * Exactness across ranges: ranges partition docId space; a block
+  * straddling a boundary is sent to every range it overlaps and each
+  * task's cursors mask docIds outside the task's window, so every doc
+  * is scored exactly once with all its terms present.
+  */
+object Searcher {
+
+  sealed trait Mode
+  case object Or extends Mode  // disjunctive BM25 top-k (default)
+  case object And extends Mode // conjunctive: doc must match all terms
+
+  /** Driver-side query plan for one query. */
+  private case class Plan(queryId: Long, terms: Seq[TermMeta],
+                          termIdx: Map[String, Int])
+
+  def search(spark: SparkSession, indexDir: String,
+             queries: Seq[QuerySpec], k: Int = 10, mode: Mode = Or,
+             numRanges: Int = 8): Dataset[SearchHit] = {
+    import spark.implicits._
+    val stats = IndexPaths.readStats(spark, indexDir)
+
+    // 1. tokenize + dictionary lookup (driver; dictionaries pruned by
+    //    termHash pushdown, not a full scan)
+    val qTerms: Map[Long, Seq[String]] = queries.map { q =>
+      q.queryId -> Tokenize.tokens(q.text).distinct.toSeq
+    }.toMap
+    val allTerms = qTerms.values.flatten.toSeq.distinct
+    if (allTerms.isEmpty) return spark.emptyDataset[SearchHit]
+    val hashes = allTerms.map(IndexBuilder.xxhash)
+    val metaByTerm: Map[String, TermMeta] = spark.read
+      .parquet(s"$indexDir/terms")
+      .filter($"termHash".isin(hashes: _*))
+      .as[TermMeta].collect()
+      .filter(t => allTerms.contains(t.term))
+      .map(t => t.term -> t).toMap
+
+    val plans: Seq[Plan] = queries.flatMap { q =>
+      val metas = qTerms(q.queryId).flatMap(metaByTerm.get)
+      val usable = mode match {
+        case And => if (metas.size == qTerms(q.queryId).size) metas else Seq.empty
+        case Or  => metas
+      }
+      if (usable.isEmpty) None
+      else Some(Plan(q.queryId,
+        usable.sortBy(_.df), // AND driver order: rarest first
+        qTerms(q.queryId).zipWithIndex.toMap))
+    }
+    if (plans.isEmpty) return spark.emptyDataset[SearchHit]
+
+    // 2. storage keys (term or salted sub-runs) → touched buckets/hashes
+    case class KeyUse(queryId: Long, termIdx: Int, idf: Double)
+    val keyUses: Map[String, Seq[(Long, Int, Double)]] = plans
+      .flatMap { p =>
+        p.terms.flatMap { t =>
+          val idf = BM25.idf(stats.numDocs, t.df)
+          val keys =
+            if (t.saltCount > 1)
+              (0 until t.saltCount).map(s => IndexBuilder.saltKey(t.term, s))
+            else Seq(t.term)
+          keys.map(k => k -> ((p.queryId, p.termIdx(t.term), idf)))
+        }
+      }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val skeyHashes = keyUses.keys.map(IndexBuilder.xxhash).toSeq
+    val buckets = skeyHashes
+      .map(h => IndexBuilder.bucketOf(h, stats.numBuckets)).distinct
+
+    val bcUses = spark.sparkContext.broadcast(keyUses)
+    val maxDoc = stats.maxDocId + 1
+    val ranges = math.max(1, numRanges)
+    def rangeOf(docId: Long): Int =
+      math.min(ranges - 1, (docId * ranges / math.max(1L, maxDoc)).toInt)
+
+    // per-query df order for the AND driver choice
+    val dfOrder: Map[Long, Seq[Int]] =
+      plans.map(p => p.queryId -> p.terms.map(t => p.termIdx(t.term))).toMap
+    val bcDfOrder = spark.sparkContext.broadcast(dfOrder)
+    val isAnd = mode == And
+    val avgdl = stats.avgdl
+
+    // 3. scan touched segments (pruned) and scatter by (query, range)
+    val blocks = spark.read.parquet(s"$indexDir/segments")
+      .filter($"bucket".isin(buckets: _*) &&
+        $"termHash".isin(skeyHashes: _*))
+      .as[SegmentBlock]
+
+    val scattered = blocks.flatMap { b =>
+      bcUses.value.getOrElse(b.skey, Seq.empty).iterator.flatMap {
+        case (qid, tIdx, idf) =>
+          (rangeOf(b.firstDocId) to rangeOf(b.lastDocId)).iterator
+            .map(r => (qid, r, tIdx, idf, b))
+      }
+    }
+
+    // 4. gather: WAND per (queryId, range) → partial top-k
+    val partials = scattered
+      .groupByKey(x => (x._1, x._2))
+      .flatMapGroups { (key: (Long, Int),
+                        it: Iterator[(Long, Int, Int, Double, SegmentBlock)]) =>
+        val (qid, r) = key
+        val lo = if (r == 0) 0L else r.toLong * maxDoc / ranges
+        val hi = if (r == ranges - 1) Long.MaxValue
+                 else (r.toLong + 1) * maxDoc / ranges
+        // group blocks per (termIdx, skey) → cursors
+        val bySkey = it.toSeq.groupBy(x => (x._3, x._5.skey))
+        val cursors = bySkey.map { case ((tIdx, _), rows) =>
+          val idf = rows.head._4
+          val bs = rows.map(_._5).sortBy(_.firstDocId).toArray
+          val ub = bs.map(_.maxScore).max
+          new Cursor(tIdx, idf, ub, bs, avgdl, lo, hi)
+        }.toArray
+        val top =
+          if (isAnd) {
+            val order = bcDfOrder.value(qid)
+            // every term group must be present in this range's cursor
+            // set is NOT required: absent group just means no match in
+            // range — but correctness of AND requires knowing the term
+            // exists somewhere; group by termIdx in df order:
+            val groups = order.map(tI => cursors.filter(_.termIdx == tI))
+              .toArray
+            if (groups.exists(_.isEmpty)) Array.empty[(Long, Double)]
+            else Wand.intersectAnd(groups.map(_.map(identity)), k)
+          } else Wand.wandOr(cursors, k)
+        top.iterator.map { case (d, s) => (qid, d, s) }
+      }
+
+    // 5. final merge per query (k·R rows per query — tiny)
+    partials
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double)]) =>
+        it.toArray.sortBy { case (_, d, s) => (-s, d) }
+          .take(k).iterator.zipWithIndex
+          .map { case ((_, d, s), i) => SearchHit(qid, i + 1, d, s) }
+      }
+  }
+
+  /** Back-join urls for a (small) hit set — docs table is range-sorted
+    * by docId so the `isin` filter prunes row groups; the join itself
+    * broadcasts the hits.
+    */
+  def withUrls(spark: SparkSession, indexDir: String,
+               hits: Dataset[SearchHit]): Dataset[(Long, Int, Long, Double, String)] = {
+    import spark.implicits._
+    val h = hits.collect()
+    val ids = h.map(_.docId).distinct.toSeq
+    val docs = spark.read.parquet(s"$indexDir/docs")
+      .filter($"docId".isin(ids: _*))
+      .select($"docId", $"url").as[(Long, String)].collect().toMap
+    spark.createDataset(h.toSeq.map(x =>
+      (x.queryId, x.rank, x.docId, x.score, docs.getOrElse(x.docId, ""))))
+  }
+}

@@ -1,0 +1,309 @@
+package graft.query
+
+import graft.index.{Codec, SegmentBlock}
+
+/** One term-run cursor: decode-on-demand iteration over the compressed
+  * posting blocks of a single storage key (a term, or one salted
+  * sub-run of a hot term), restricted to a docId window [lo, hi).
+  *
+  * Blocks decode lazily: `advanceShallow` moves between blocks using
+  * only (firstDocId, lastDocId, maxScore) metadata — the skip that
+  * makes block-max WAND cheaper than exhaustive evaluation.
+  */
+final class Cursor(val termIdx: Int, val idf: Double, val ub: Double,
+                   blocks: Array[SegmentBlock], avgdl: Double,
+                   lo: Long, hi: Long) {
+
+  private var bi = 0               // current block index
+  private var docs: Array[Long] = _
+  private var tfs: Array[Long] = _
+  private var dls: Array[Long] = _
+  private var pi = 0               // position inside decoded block
+  var curDoc: Long = -1L
+
+  advanceTo(lo)
+
+  def exhausted: Boolean = curDoc == Long.MaxValue
+
+  /** Max score of the CURRENT block (block-max bound). */
+  def blockMax: Double =
+    if (bi < blocks.length) blocks(bi).maxScore else 0.0
+
+  /** Last docId of the current block (skip target for block-max). */
+  def blockLast: Long =
+    if (bi < blocks.length) blocks(bi).lastDocId else Long.MaxValue
+
+  private def decode(): Unit = {
+    val b = blocks(bi)
+    docs = Codec.decodeDeltas(b.docIdsEnc, b.n, b.firstDocId)
+    tfs = Codec.decodeVarByte(b.tfsEnc, b.n)
+    dls = Codec.decodeVarByte(b.dlsEnc, b.n)
+    pi = 0
+  }
+
+  /** Move block pointer (metadata only) to the first block whose
+    * lastDocId >= target; returns false when exhausted.
+    */
+  def advanceShallow(target: Long): Boolean = {
+    if (docs != null && bi < blocks.length && blocks(bi).lastDocId >= target)
+      return true
+    docs = null
+    while (bi < blocks.length && blocks(bi).lastDocId < target) bi += 1
+    bi < blocks.length
+  }
+
+  /** Advance to the first docId >= target (decodes the block). */
+  def advanceTo(target0: Long): Long = {
+    val target = math.max(target0, lo)
+    if (curDoc != Long.MaxValue && curDoc >= target && curDoc >= lo &&
+        docs != null) return curDoc
+    if (!advanceShallow(target)) { curDoc = Long.MaxValue; return curDoc }
+    if (docs == null) decode()
+    while (pi < docs.length && docs(pi) < target) pi += 1
+    while (pi >= docs.length) {
+      bi += 1
+      if (bi >= blocks.length) { curDoc = Long.MaxValue; return curDoc }
+      decode()
+    }
+    curDoc = docs(pi)
+    if (curDoc >= hi) curDoc = Long.MaxValue
+    curDoc
+  }
+
+  def next(): Long = advanceTo(curDoc + 1)
+
+  /** BM25 contribution of the current posting. */
+  def score: Double = BM25.score(tfs(pi), dls(pi), avgdl, idf)
+}
+
+/** Bounded min-heap of (score, docId) with the north rule's tie-break:
+  * higher score wins; on equal score, LOWER docId wins. `threshold` is
+  * the WAND θ — a candidate must beat the weakest kept entry.
+  */
+final class TopK(k: Int) {
+  // min-heap ordered by (score asc, docId desc) so the weakest entry
+  // (lowest score, then highest docId) sits at the root.
+  private val scores = new Array[Double](k)
+  private val ids = new Array[Long](k)
+  var size = 0
+
+  private def worseThan(s1: Double, d1: Long, s2: Double, d2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && d1 > d2)
+
+  def threshold: Double =
+    if (size < k) Double.NegativeInfinity else scores(0)
+
+  /** Would (s, d) enter the heap? */
+  def qualifies(s: Double, d: Long): Boolean =
+    size < k || worseThan(scores(0), ids(0), s, d)
+
+  def offer(s: Double, d: Long): Unit = {
+    if (size < k) {
+      var i = size
+      scores(i) = s; ids(i) = d; size += 1
+      while (i > 0 && worseThan(scores(i), ids(i),
+             scores((i - 1) / 2), ids((i - 1) / 2))) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    } else if (worseThan(scores(0), ids(0), s, d)) {
+      scores(0) = s; ids(0) = d
+      siftDown(0)
+    }
+  }
+
+  private def swap(i: Int, j: Int): Unit = {
+    val ts = scores(i); scores(i) = scores(j); scores(j) = ts
+    val td = ids(i); ids(i) = ids(j); ids(j) = td
+  }
+
+  private def siftDown(i0: Int): Unit = {
+    var i = i0
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1; val r = 2 * i + 2
+      var m = i
+      if (l < size && worseThan(scores(l), ids(l), scores(m), ids(m))) m = l
+      if (r < size && worseThan(scores(r), ids(r), scores(m), ids(m))) m = r
+      if (m == i) done = true else { swap(i, m); i = m }
+    }
+  }
+
+  /** Drain best-first: (score desc, docId asc). */
+  def result(): Array[(Long, Double)] = {
+    val out = (0 until size).map(i => (ids(i), scores(i))).toArray
+    out.sortBy { case (d, s) => (-s, d) }
+  }
+}
+
+/** Block-max WAND top-k over a set of cursors (disjunctive OR
+  * semantics — standard BM25 top-k), plus an exhaustive reference
+  * evaluator and a conjunctive (AND) evaluator.
+  *
+  * The cursor sets for one (query, docId-range) task are built from
+  * term-partitioned segments gathered by the scatter stage
+  * (Searcher); salted sub-runs of one term appear as separate cursors
+  * sharing `termIdx` — a doc lives in exactly one sub-run, so scores
+  * stay exact.
+  *
+  * For bit-identical scores vs the scalar oracle, the final evaluation
+  * sums per-term contributions in ascending `termIdx` order
+  * (floating-point addition is not associative — SURVEY.md §7).
+  */
+object Wand {
+
+  /** Deterministic-order sum of contributions at the pivot doc. */
+  private def fullScore(matched: Array[Cursor], n: Int): Double = {
+    java.util.Arrays.sort(matched, 0, n,
+      Ordering.by((c: Cursor) => c.termIdx))
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += matched(i).score; i += 1 }
+    s
+  }
+
+  /** Exhaustive disjunctive evaluation (document-at-a-time union). */
+  def exhaustiveOr(cursors: Array[Cursor], k: Int): Array[(Long, Double)] = {
+    val heap = new TopK(k)
+    val buf = new Array[Cursor](cursors.length)
+    var live = cursors.filterNot(_.exhausted)
+    while (live.nonEmpty) {
+      var min = Long.MaxValue
+      live.foreach(c => if (c.curDoc < min) min = c.curDoc)
+      var n = 0
+      live.foreach { c => if (c.curDoc == min) { buf(n) = c; n += 1 } }
+      val s = fullScore(buf, n)
+      heap.offer(s, min)
+      var i = 0
+      while (i < n) { buf(i).next(); i += 1 }
+      live = live.filterNot(_.exhausted)
+    }
+    heap.result()
+  }
+
+  /** Block-max WAND (Broder et al. WAND + Ding/Suel block-max skips).
+    * Exact: returns the same top-k as [[exhaustiveOr]].
+    */
+  def wandOr(cursors0: Array[Cursor], k: Int): Array[(Long, Double)] = {
+    val heap = new TopK(k)
+    var cursors = cursors0.filterNot(_.exhausted)
+    val matchedBuf = new Array[Cursor](cursors0.length)
+    while (cursors.nonEmpty) {
+      // order by current docId
+      java.util.Arrays.sort(cursors,
+        Ordering.by((c: Cursor) => c.curDoc))
+      // find pivot: first prefix whose UB sum exceeds θ
+      val theta = heap.threshold
+      var acc = 0.0
+      var p = -1
+      var i = 0
+      while (p < 0 && i < cursors.length) {
+        acc += cursors(i).ub
+        if (acc > theta || (heap.size < k)) p = i
+        i += 1
+      }
+      if (p < 0) return heap.result() // no prefix can beat θ
+      val pivotDoc = cursors(p).curDoc
+      if (pivotDoc == Long.MaxValue) return heap.result()
+      // extend the pivot prefix over ALL cursors parked on pivotDoc —
+      // they contribute to its score, so the block-max check and the
+      // skip bound must include them
+      while (p + 1 < cursors.length && cursors(p + 1).curDoc == pivotDoc)
+        p += 1
+      if (cursors(0).curDoc == pivotDoc) {
+        // all leading cursors aligned on pivot: block-max check
+        var bmSum = 0.0
+        var j = 0
+        var minBlockLast = Long.MaxValue
+        while (j <= p) {
+          val c = cursors(j)
+          c.advanceShallow(pivotDoc)
+          bmSum += c.blockMax
+          if (c.blockLast < minBlockLast) minBlockLast = c.blockLast
+          j += 1
+        }
+        if (bmSum > theta || heap.size < k) {
+          // full evaluation at pivotDoc
+          var n = 0
+          var j2 = 0
+          while (j2 < cursors.length && cursors(j2).curDoc == pivotDoc) {
+            matchedBuf(n) = cursors(j2); n += 1; j2 += 1
+          }
+          val s = fullScore(matchedBuf, n)
+          heap.offer(s, pivotDoc)
+          var j3 = 0
+          while (j3 < n) { matchedBuf(j3).advanceTo(pivotDoc + 1); j3 += 1 }
+        } else {
+          // No doc in [pivotDoc, min(blockLast)] ∩ (-∞, next cursor's
+          // doc) can beat θ — jump past the earliest of those bounds.
+          var target = minBlockLast + 1
+          if (p + 1 < cursors.length)
+            target = math.min(target, cursors(p + 1).curDoc)
+          target = math.max(target, pivotDoc + 1)
+          var j4 = 0
+          while (j4 <= p) { cursors(j4).advanceTo(target); j4 += 1 }
+        }
+      } else {
+        // advance the leading cursor with the largest UB up to pivot
+        var best = 0
+        var j5 = 0
+        while (cursors(j5).curDoc < pivotDoc) {
+          if (cursors(j5).ub > cursors(best).ub) best = j5
+          j5 += 1
+        }
+        cursors(best).advanceTo(pivotDoc)
+      }
+      cursors = cursors.filterNot(_.exhausted)
+    }
+    heap.result()
+  }
+
+  /** Conjunctive (AND) top-k: a doc qualifies only if every term group
+    * matches it. `groups(t)` holds the cursors (salt sub-runs) of term
+    * t. Driver list = the group with the smallest df; membership in
+    * other groups checked by galloping `advanceTo` (the posting-list
+    * intersection of SURVEY.md §2.3).
+    */
+  def intersectAnd(groups: Array[Array[Cursor]], k: Int): Array[(Long, Double)] = {
+    if (groups.isEmpty || groups.exists(_.forall(_.exhausted)))
+      return Array.empty
+    val heap = new TopK(k)
+    // Caller passes groups sorted by df ascending: groups(0) drives.
+    val drv = groups(0)
+    val others = groups.drop(1)
+    val matched = new Array[Cursor](groups.map(_.length).sum)
+    def drvMin: Long = {
+      var m = Long.MaxValue
+      drv.foreach(c => if (!c.exhausted && c.curDoc < m) m = c.curDoc)
+      m
+    }
+    var cand = drvMin
+    while (cand != Long.MaxValue) {
+      var ok = true
+      var n = 0
+      // a doc lives in exactly one salt sub-run of a term
+      drv.foreach(c =>
+        if (!c.exhausted && c.curDoc == cand) { matched(n) = c; n += 1 })
+      var gi = 0
+      while (ok && gi < others.length) {
+        val g = others(gi)
+        var hit: Cursor = null
+        var ci = 0
+        while (hit == null && ci < g.length) {
+          val c = g(ci)
+          if (!c.exhausted) {
+            c.advanceTo(cand)
+            if (c.curDoc == cand) hit = c
+          }
+          ci += 1
+        }
+        if (hit == null) ok = false else { matched(n) = hit; n += 1 }
+        gi += 1
+      }
+      if (ok) heap.offer(fullScore(matched, n), cand)
+      drv.foreach(c =>
+        if (!c.exhausted && c.curDoc <= cand) c.advanceTo(cand + 1))
+      cand = drvMin
+    }
+    heap.result()
+  }
+}

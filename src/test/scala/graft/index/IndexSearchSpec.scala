@@ -1,0 +1,103 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.data.{PagesGen, QuerySet}
+import graft.query.{ScalarOracle, Searcher}
+
+/** End-to-end rank-identity: build the index over deterministic
+  * synthetic webtext, run the committed query set, and assert top-k
+  * docIDs and BM25 scores match the scalar oracle EXACTLY (bit-equal
+  * doubles) — the north rule's correctness gate.
+  */
+class IndexSearchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  val NumDocs = 2000L
+  // saltTarget low enough that stopword terms get salted sub-runs
+  val cfg = IndexBuilder.Config(numBuckets = 8, blockSize = 32,
+    numGroups = 3, saltTarget = 300L, shufflePartitions = 8)
+
+  lazy val indexDir: String = {
+    val dir = SparkTestSession.tmpDir("graft_idx")
+    val docs = DocIds.fromPages(
+      PagesGen.pages(spark, NumDocs, partitions = 6), 6,
+      useExtractor = true)
+    IndexBuilder.build(docs, dir, cfg, buildId = "t1",
+      lineage = s"pages(seed=42,n=$NumDocs)")
+    dir
+  }
+
+  lazy val oracleCorpus: ScalarOracle.Corpus = {
+    val docs = (0L until NumDocs).map(i => PagesGen.row(42L, i))
+      .map(p => (p.url, p.text)).sortBy(_._1).zipWithIndex
+      .map { case ((_, t), r) => (r.toLong, t) }
+    ScalarOracle.corpus(docs)
+  }
+
+  test("stats: salting engaged on hot terms") {
+    import spark.implicits._
+    indexDir // force build
+    val salted = spark.read.parquet(s"$indexDir/terms")
+      .filter($"saltCount" > 1).count()
+    assert(salted > 0, "expected hot terms to be salted")
+  }
+
+  test("OR top-k rank-identical with exact scores vs scalar oracle") {
+    val queries = QuerySet.queries()
+    val hits = Searcher.search(spark, indexDir, queries, k = 10,
+      mode = Searcher.Or, numRanges = 4).collect()
+      .groupBy(_.queryId)
+    queries.foreach { q =>
+      val want = ScalarOracle.topK(oracleCorpus, q.text, 10)
+      val got = hits.getOrElse(q.queryId, Array.empty)
+        .sortBy(_.rank).map(h => (h.docId, h.score)).toSeq
+      assert(got == want,
+        s"query ${q.queryId} '${q.text}': engine=$got oracle=$want")
+    }
+  }
+
+  test("AND top-k rank-identical vs scalar oracle") {
+    val queries = QuerySet.queries()
+    val hits = Searcher.search(spark, indexDir, queries, k = 10,
+      mode = Searcher.And, numRanges = 4).collect()
+      .groupBy(_.queryId)
+    queries.foreach { q =>
+      val want = ScalarOracle.topK(oracleCorpus, q.text, 10, and = true)
+      val got = hits.getOrElse(q.queryId, Array.empty)
+        .sortBy(_.rank).map(h => (h.docId, h.score)).toSeq
+      assert(got == want,
+        s"AND query ${q.queryId} '${q.text}': engine=$got oracle=$want")
+    }
+  }
+
+  test("numRanges does not change results (range-scatter exactness)") {
+    val queries = QuerySet.queries().take(12)
+    val a = Searcher.search(spark, indexDir, queries, 10,
+      Searcher.Or, numRanges = 1).collect()
+      .map(h => (h.queryId, h.rank, h.docId, h.score)).sortBy(x => (x._1, x._2))
+    val b = Searcher.search(spark, indexDir, queries, 10,
+      Searcher.Or, numRanges = 7).collect()
+      .map(h => (h.queryId, h.rank, h.docId, h.score)).sortBy(x => (x._1, x._2))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("url back-join resolves every hit") {
+    val hits = Searcher.search(spark, indexDir,
+      QuerySet.queries().take(5), 10, Searcher.Or, 4)
+    val withU = Searcher.withUrls(spark, indexDir, hits).collect()
+    assert(withU.nonEmpty && withU.forall(_._5.startsWith("https://")))
+  }
+
+  test("checkpoints record lineage and metrics") {
+    indexDir // force build
+    val cks = new CheckpointStore(spark, indexDir).list()
+    assert(cks.exists(_.stage == "stats"))
+    assert(cks.exists(_.stage == "postings"))
+    assert(cks.count(_.stage == "segments") == cfg.numGroups)
+    assert(cks.forall(_.status == "COMPLETE"))
+    assert(cks.forall(c => c.rowCount > 0 && c.bytes > 0))
+    assert(cks.forall(_.lineage.contains("pages")))
+  }
+}

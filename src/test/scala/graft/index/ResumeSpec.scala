@@ -1,0 +1,58 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.data.PagesGen
+
+/** Resume fixture (FIXTURES.md §6): a build that crashes after M of P
+  * groups must, when resumed, (a) skip the completed groups and (b)
+  * produce exactly the same segment content as an uninterrupted build.
+  */
+class ResumeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  val cfg = IndexBuilder.Config(numBuckets = 8, blockSize = 32,
+    numGroups = 4, saltTarget = 400L, shufflePartitions = 6)
+
+  private def segmentFingerprint(dir: String): Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/segments")
+      .as[SegmentBlock].collect()
+      .map(b => s"${b.bucket}|${b.termHash}|${b.skey}|${b.blockId}|" +
+        s"${b.n}|${b.firstDocId}|${b.lastDocId}|${b.maxScore}|" +
+        s"${b.docIdsEnc.mkString(",")}|${b.tfsEnc.mkString(",")}|" +
+        s"${b.dlsEnc.mkString(",")}")
+      .sorted.toSeq
+  }
+
+  test("crash after group 1, resume → identical segments") {
+    val docs = DocIds.fromPages(PagesGen.pages(spark, 900L), 6)
+    docs.cache().count()
+
+    val cleanDir = SparkTestSession.tmpDir("graft_clean")
+    IndexBuilder.build(docs, cleanDir, cfg, buildId = "clean")
+
+    val crashDir = SparkTestSession.tmpDir("graft_crash")
+    intercept[RuntimeException] {
+      IndexBuilder.build(docs, crashDir,
+        cfg.copy(failAfterGroup = 1), buildId = "crash")
+    }
+    // only groups 0..1 committed
+    val before = new CheckpointStore(spark, crashDir).list()
+    assert(before.count(_.stage == "segments") == 2)
+
+    IndexBuilder.build(docs, crashDir, cfg, buildId = "crash",
+      resume = true)
+    val after = new CheckpointStore(spark, crashDir).list()
+    assert(after.count(_.stage == "segments") == cfg.numGroups)
+    // resume must not have re-run groups 0..1 (same finishedMs)
+    val g01Before = before.filter(c => c.stage == "segments")
+      .map(c => c.unit -> c.finishedMs).toMap
+    val g01After = after.filter(c => c.stage == "segments" && c.unit <= 1)
+      .map(c => c.unit -> c.finishedMs).toMap
+    assert(g01After == g01Before.view.filterKeys(_ <= 1).toMap)
+
+    assert(segmentFingerprint(crashDir) == segmentFingerprint(cleanDir))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.query
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+import graft.index.{Codec, SegmentBlock}
+
+/** Property tests: block-max WAND must return exactly the same top-k
+  * (docIds AND scores) as exhaustive evaluation, over randomized
+  * posting lists, block sizes, k, and docId windows.
+  */
+class WandSpec extends AnyFunSuite {
+
+  val avgdl = 100.0
+
+  private def mkBlocks(skey: String, postings: Seq[(Long, Int, Int)],
+                       df: Long, n: Long,
+                       blockSize: Int): Array[SegmentBlock] = {
+    val idf = BM25.idf(n, df)
+    postings.sortBy(_._1).grouped(blockSize).zipWithIndex.map {
+      case (chunk, bi) =>
+        val ds = chunk.map(_._1).toArray
+        val tfs = chunk.map(_._2.toLong).toArray
+        val dls = chunk.map(_._3.toLong).toArray
+        val maxS = chunk.map(c =>
+          BM25.score(c._2.toLong, c._3.toLong, avgdl, idf)).max
+        SegmentBlock(0, 0L, skey, skey, df, bi, ds.length, ds.head,
+          ds.last, maxS, Codec.encodeDeltas(ds, ds.head),
+          Codec.encodeVarByte(tfs), Codec.encodeVarByte(dls))
+    }.toArray
+  }
+
+  private def mkCursor(termIdx: Int, blocks: Array[SegmentBlock],
+                       n: Long, lo: Long = 0L,
+                       hi: Long = Long.MaxValue): Cursor = {
+    val idf = BM25.idf(n, blocks.head.df)
+    new Cursor(termIdx, idf, blocks.map(_.maxScore).max, blocks, avgdl,
+      lo, hi)
+  }
+
+  private def randPostings(rnd: Random, maxDoc: Long,
+                           count: Int): Seq[(Long, Int, Int)] = {
+    val docs = Iterator.continually(rnd.nextLong().abs % maxDoc)
+      .take(count * 2).toSeq.distinct.take(count).sorted
+    docs.map(d => (d, 1 + rnd.nextInt(5), 20 + rnd.nextInt(300)))
+  }
+
+  test("wandOr == exhaustiveOr across random cursor sets") {
+    val rnd = new Random(1234)
+    val n = 10000L
+    (0 until 60).foreach { trial =>
+      val numTerms = 1 + rnd.nextInt(4)
+      val blockSize = 1 + rnd.nextInt(16)
+      val k = 1 + rnd.nextInt(12)
+      val cursorSets = (0 until numTerms).map { t =>
+        val count = 1 + rnd.nextInt(300)
+        val postings = randPostings(rnd, 2000L, count)
+        val df = postings.size.toLong
+        (mkBlocks(s"t$t", postings, df, n, blockSize), t)
+      }
+      def cursors() = cursorSets.map { case (bs, t) =>
+        mkCursor(t, bs, n)
+      }.toArray
+      val a = Wand.exhaustiveOr(cursors(), k)
+      val b = Wand.wandOr(cursors(), k)
+      assert(a.toSeq == b.toSeq, s"trial $trial: wandOr != exhaustive")
+    }
+  }
+
+  test("wandOr respects docId window [lo, hi)") {
+    val rnd = new Random(99)
+    val n = 5000L
+    (0 until 30).foreach { trial =>
+      val postings = randPostings(rnd, 1000L, 200)
+      val blocks = mkBlocks("t0", postings, postings.size.toLong, n, 8)
+      val lo = rnd.nextInt(500).toLong
+      val hi = lo + 1 + rnd.nextInt(500)
+      val got = Wand.wandOr(Array(mkCursor(0, blocks, n, lo, hi)), 50)
+      val want = postings.filter(p => p._1 >= lo && p._1 < hi)
+        .map { case (d, tf, dl) =>
+          (d, BM25.score(tf.toLong, dl.toLong, avgdl,
+            BM25.idf(n, postings.size.toLong)))
+        }
+        .sortBy { case (d, s) => (-s, d) }.take(50)
+      assert(got.toSeq == want, s"trial $trial window [$lo,$hi)")
+    }
+  }
+
+  test("intersectAnd == naive intersection") {
+    val rnd = new Random(321)
+    val n = 10000L
+    (0 until 40).foreach { trial =>
+      val numTerms = 2 + rnd.nextInt(3)
+      val k = 1 + rnd.nextInt(10)
+      val lists = (0 until numTerms).map { t =>
+        randPostings(rnd, 400L, 30 + rnd.nextInt(200))
+      }
+      val groups = lists.zipWithIndex.sortBy(_._1.size).map {
+        case (ps, t) =>
+          Array(mkCursor(t, mkBlocks(s"t$t", ps, ps.size.toLong, n, 7), n))
+      }.toArray
+      val got = Wand.intersectAnd(groups, k)
+      // naive
+      val common = lists.map(_.map(_._1).toSet).reduce(_ intersect _)
+      val want = common.toSeq.map { d =>
+        var s = 0.0
+        lists.zipWithIndex.sortBy(_._2).foreach { case (ps, t) =>
+          val hit = ps.find(_._1 == d).get
+          s += BM25.score(hit._2.toLong, hit._3.toLong, avgdl,
+            BM25.idf(n, ps.size.toLong))
+        }
+        (d, s)
+      }.sortBy { case (d, s) => (-s, d) }.take(k)
+      assert(got.toSeq == want, s"trial $trial AND mismatch")
+    }
+  }
+
+  test("salted sub-runs of one term score identically to unsalted") {
+    val rnd = new Random(555)
+    val n = 8000L
+    val postings = randPostings(rnd, 3000L, 600)
+    val df = postings.size.toLong
+    val whole = mkBlocks("t", postings, df, n, 16)
+    // split by hash of docId into 3 sub-runs (as the builder salts)
+    val subs = postings.groupBy(p =>
+      graft.index.IndexBuilder.saltOf(p._1, 3))
+      .toSeq.map { case (s, ps) => mkBlocks(s"t#$s", ps, df, n, 16) }
+    val unsalted = Wand.wandOr(Array(mkCursor(0, whole, n)), 20)
+    val salted = Wand.wandOr(
+      subs.map(bs => mkCursor(0, bs, n)).toArray, 20)
+    assert(unsalted.toSeq == salted.toSeq)
+  }
+}
