@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{Doc, IndexBuilder, IndexPaths}
+import graft.query.{QuerySpec, Searcher}
+
+/** Builds (once, cached on disk) the inverted index over the driver's
+  * `documents` table for a given sf dir, and exposes engine-backed
+  * search as a DataFrame for the SparkEntry contract. doc_id from the
+  * table IS the docId (already stable), so oracle comparisons are
+  * direct.
+  */
+object EntryIndex {
+
+  private def indexDirFor(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    s"/tmp/graft_entry_index/$h"
+  }
+
+  def ensure(spark: SparkSession, dir: String): String = synchronized {
+    val idx = indexDirFor(dir)
+    if (!IndexPaths.exists(spark, s"$idx/stats.json") ||
+        new index.CheckpointStore(spark, idx).list()
+          .count(_.stage == "segments") < 2) {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id".as("docId"),
+          concat(lit("doc://"), $"doc_id").as("url"), $"text")
+        .as[Doc]
+      // saltTarget low enough that corpus-wide terms get salted even
+      // at sf0.01 (500 docs) — the skew path stays exercised here.
+      val cfg = IndexBuilder.Config(numBuckets = 8, blockSize = 64,
+        numGroups = 2, saltTarget = 300L)
+      IndexBuilder.build(docs, idx, cfg,
+        buildId = s"entry", resume = true,
+        lineage = s"$dir/documents.parquet")
+    }
+    idx
+  }
+
+  /** Engine search → (rank, doc_id, score_r) rounded for cross-engine
+    * double tolerance; ordered by rank.
+    */
+  def searchDf(spark: SparkSession, dir: String, query: String, k: Int,
+               mode: Searcher.Mode): DataFrame = {
+    import spark.implicits._
+    val idx = ensure(spark, dir)
+    Searcher.search(spark, idx, Seq(QuerySpec(0L, query)), k, mode,
+      numRanges = 4)
+      .select($"rank".cast("long").as("rank"), $"docId".as("doc_id"),
+        round($"score", 4).as("score_r"))
+      .orderBy("rank")
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import graft.pipeline.TextOps
+
+/** DuckDB oracle SQL builders shared by SparkEntry.oracleSql. Every
+  * builder mirrors EXACTLY the arithmetic/tokenization of the Spark
+  * implementation (Tokenize.duckSql is the single tokenizer
+  * definition; BM25 constants inlined from graft.query.BM25).
+  */
+object OracleSql {
+
+  val toksExpr: String = graft.functions.Tokenize.duckSql("text")
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Shared tokenization CTEs over `documents`. */
+  val ftBase: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($toksExpr) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf
+       |       FROM toks GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)
+       |""".stripMargin
+
+  /** BM25 top-k (k1=1.2, b=0.75, Lucene idf) — the engine's scoring
+    * formula expressed in SQL; rank/tie-break (score desc, doc_id).
+    */
+  def bm25(terms: Seq[String], k: Int, and: Boolean): String = {
+    val havingAll =
+      if (and) s"HAVING count(*) = ${terms.distinct.size}" else ""
+    s"""$ftBase,
+       |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+       |  (SELECT count(*) FROM toks)::DOUBLE /
+       |  (SELECT count(*) FROM documents) AS avgdl),
+       |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+       |q(term) AS (VALUES ${terms.distinct.map(t => s"('$t')").mkString(",")}),
+       |sc AS (SELECT tf.doc_id,
+       |  sum( ln(1.0 + (n - df + 0.5)/(df + 0.5)) *
+       |       tf::DOUBLE * (1.2 + 1.0) /
+       |       (tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) )
+       |    AS score
+       |  FROM tf JOIN q USING(term) JOIN df USING(term)
+       |       JOIN dl USING(doc_id) CROSS JOIN stats
+       |  GROUP BY tf.doc_id $havingAll)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+       |         AS BIGINT) AS rank,
+       |       doc_id, round(score, 4) AS score_r
+       |FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  val langId: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN en=0 AND de=0 AND fr=0 THEN 'und'
+       |       WHEN en>=de AND en>=fr THEN 'en'
+       |       WHEN de>=fr THEN 'de' ELSE 'fr' END AS lang_pred
+       |FROM (SELECT doc_id,
+       |  len(list_filter(t, x -> x IN ${inList(TextOps.EnSw)})) AS en,
+       |  len(list_filter(t, x -> x IN ${inList(TextOps.DeSw)})) AS de,
+       |  len(list_filter(t, x -> x IN ${inList(TextOps.FrSw)})) AS fr
+       | FROM (SELECT doc_id, $toksExpr AS t FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  val quality: String =
+    s"""SELECT doc_id,
+       |  round(least(dl/100.0, 1.0)*0.5 + (stop/dl)*0.3 + (uniq/dl)*0.2, 4)
+       |    AS quality
+       |FROM (SELECT doc_id, len(t)::DOUBLE AS dl,
+       |  len(list_filter(t, x -> x IN ${inList(TextOps.EnSw)}))::DOUBLE AS stop,
+       |  len(list_distinct(t))::DOUBLE AS uniq
+       | FROM (SELECT doc_id, $toksExpr AS t FROM documents)
+       | WHERE len(t) > 0)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Distinct word-3-gram shingles CTE (1-indexed lists in DuckDB). */
+  val shinglesCte: String =
+    s"""sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(t)-2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shs
+       |  FROM (SELECT doc_id, $toksExpr AS t FROM documents)
+       |  WHERE len(t) >= 3)""".stripMargin
+
+  def ngramJaccard(threshold: Double): String =
+    s"""WITH $shinglesCte,
+       |p AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS inter
+       |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (SELECT doc_a, doc_b,
+       |    inter::DOUBLE / (len(sa.shs) + len(sb.shs) - inter) AS jac
+       |  FROM inter JOIN sh sa ON sa.doc_id = doc_a
+       |       JOIN sh sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, round(jac, 4) AS jac_r FROM j
+       |WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+
+  def minhashLsh(numHashes: Int, bands: Int, threshold: Double): String = {
+    val rows = numHashes / bands
+    val mhList = (0 until numHashes).map(j =>
+      s"list_min(list_transform(shs, s -> md5('$j|' || s)))")
+      .mkString("[", ", ", "]")
+    val bandSelects = (0 until bands).map { b =>
+      val bval = (0 until rows).map(r => s"mh[${b * rows + r + 1}]")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $bval AS bval FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shinglesCte,
+       |sig AS (SELECT doc_id, $mhList AS mh FROM sh),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |j AS (SELECT doc_a, doc_b,
+       |    len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))::DOUBLE /
+       |    (len(sa.shs) + len(sb.shs) -
+       |     len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))) AS jac
+       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a
+       |       JOIN sh sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, round(jac, 4) AS jac_r FROM j
+       |WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  def cosineTopK(queryId: Long, k: Int): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+       |  WHERE vec_id = $queryId)
+       |SELECT vec_id,
+       |  round(list_cosine_similarity(embedding, qv), 4) AS cos_r
+       |FROM embeddings CROSS JOIN q WHERE vec_id <> $queryId
+       |ORDER BY cos_r DESC, vec_id LIMIT $k""".stripMargin
+
+  def knnJoin(numQueries: Int, k: Int): String =
+    s"""SELECT qid, nid, cos_r, CAST(rank AS BIGINT) AS rank FROM (
+       |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |    round(list_cosine_similarity(q.embedding, e.embedding), 4)
+       |      AS cos_r,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(list_cosine_similarity(q.embedding,
+       |        e.embedding), 4) DESC, e.vec_id) AS rank
+       |  FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+       |  WHERE q.vec_id < $numQueries)
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+}

@@ -1,13 +1,341 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Tokenize
+import graft.pipeline.{Dedup, Similarity, TextOps}
+import graft.query.Searcher
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data pipeline ops), each with DuckDB
+  * oracle SQL where SQL-expressible. Column names/types and row order
+  * match the oracle exactly (the driver hash-compares values after
+  * sorting columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def docToks(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), Tokenize.tokensCol(col("text")).as("toks"))
+
+  /** Flagship: engine-backed BM25 search over sf0.001 documents. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    EntryIndex.searchDf(spark, "/root/testdata/sf0.001",
+      "data join order", 10, Searcher.Or)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / aggregates (SURVEY §2.1, §2.4) --------------------
+    "s3_count" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("n"))),
+    "s4_minmax" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"),
+        countDistinct(col("l_orderkey")).as("nkeys"))),
+    "s9_limit" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 4).as("qty_r"))
+        .orderBy("l_orderkey", "l_linenumber").limit(20)),
+    // ---- filters / predicates (§2.2) -------------------------------
+    "p3_filter_eq" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value_r"))
+        .orderBy("event_id")),
+    "p4_filter_range" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))),
+    "p6_like" -> ((s, d) =>
+      t(s, d, "part").filter(lower(col("p_name")).contains("old"))
+        .select(col("p_partkey"), col("p_name")).orderBy("p_partkey")),
+    // ---- aggregations (§2.4) ---------------------------------------
+    "q1_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "a2_facet" -> ((s, d) =>
+      docToks(s, d).select(explode(col("toks")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("term")).limit(50)),
+    "agg_distinct" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+    // ---- joins (§2.3) ----------------------------------------------
+    "j_broadcast" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("bal"))
+        .orderBy("n_name")),
+    "j_large" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")),
+    "j_semi" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select(col("c_custkey")).orderBy("c_custkey")),
+    "j_anti" -> ((s, d) =>
+      t(s, d, "part")
+        .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"),
+          "left_anti")
+        .select(col("p_partkey")).orderBy("p_partkey")),
+    // ---- windows / sorts / top-k (§2.5) ----------------------------
+    "w1_latest" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(desc("ts"), desc("event_id"))
+      t(s, d, "events").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event"))
+        .orderBy("user_id")
+    }),
+    "w2_topk" -> ((s, d) =>
+      t(s, d, "events")
+        .orderBy(desc("value"), col("event_id")).limit(15)
+        .select(col("event_id"), round(col("value"), 4).as("value_r"))),
+    "w3_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events").filter(col("user_id") < 20)
+        .withColumn("run_sum", round(sum(col("value")).over(w), 4))
+        .select(col("user_id"), col("event_id"), col("run_sum"))
+        .orderBy("user_id", "event_id")
+    }),
+    "w4_window_agg" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("event_type"), col("n"), col("sum_v"))
+        .orderBy("hr", "event_type")),
+    // ---- set ops (§2.6) --------------------------------------------
+    "set_union" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"))
+        .union(t(s, d, "orders").filter(col("o_totalprice") > 100000.0)
+          .select(col("o_custkey").as("key")))
+        .distinct().orderBy("key")),
+    // ---- scalar functions (§2.7) -----------------------------------
+    "f1_classifier" -> ((s, d) =>
+      t(s, d, "part").select(col("p_partkey"),
+        when(lower(col("p_name")).rlike("widget"), lit("widget"))
+          .when(lower(col("p_name")).rlike("bolt|nut|screw"), lit("fastener"))
+          .when(lower(col("p_name")).rlike("gear|cog"), lit("drive"))
+          .otherwise(lit("other")).as("label"))
+        .orderBy("p_partkey")),
+    "f2_time" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(date_trunc("HOUR", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hr"))
+        .agg(count(lit(1)).as("n")).orderBy("hr")),
+    "f4_regex" -> ((s, d) =>
+      t(s, d, "part").select(col("p_partkey"),
+        regexp_replace(col("p_type"), "PROMO", "PROMOTION").as("t2"))
+        .orderBy("p_partkey")),
+    "f5_concat" -> ((s, d) =>
+      t(s, d, "nation")
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(concat(col("n_name"), lit(" - "), col("r_name"))
+          .as("full_name"))
+        .orderBy("full_name")),
+    "f7_json" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+    // ---- fulltext core (north rule; engine-backed where noted) -----
+    "ft_tokenize_tf" -> ((s, d) =>
+      docToks(s, d).select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .orderBy("doc_id", "term")),
+    "ft_df" -> ((s, d) =>
+      docToks(s, d).select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .groupBy("term").agg(count(lit(1)).as("df"),
+          sum(col("tf")).as("cf"))
+        .orderBy("term")),
+    "ft_doclen" -> ((s, d) =>
+      docToks(s, d).select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl")).orderBy("doc_id")),
+    "ft_stats" -> ((s, d) => {
+      val dls = docToks(s, d).select(size(col("toks")).cast("long").as("dl"))
+      dls.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_tokens"),
+        round(sum(col("dl")).cast("double") / count(lit(1)), 6).as("avgdl_r"))
+    }),
+    "ft_bm25_q1" -> ((s, d) =>
+      EntryIndex.searchDf(s, d, "data join", 10, Searcher.Or)),
+    "ft_bm25_q2" -> ((s, d) =>
+      EntryIndex.searchDf(s, d, "the window slow", 10, Searcher.Or)),
+    "ft_bm25_q3" -> ((s, d) =>
+      EntryIndex.searchDf(s, d, "vector hash scan merge", 10, Searcher.Or)),
+    "ft_and_search" -> ((s, d) =>
+      EntryIndex.searchDf(s, d, "data join order", 10, Searcher.And)),
+    // ---- text analysis pipeline ------------------------------------
+    "ft_langid" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred")).orderBy("doc_id")),
+    "ft_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(size(Tokenize.tokensCol(col("text"))) > 0)
+        .select(col("doc_id"), TextOps.quality(col("text")).as("quality"))
+        .orderBy("doc_id")),
+    "ft_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+    // ---- dedup pipeline --------------------------------------------
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
+    "dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccard(t(s, d, "documents"), "doc_id", "text", 0.3)),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text", 16, 4, 0.2)),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(t(s, d, "documents"), "doc_id", "text")),
+    // ---- similarity search -----------------------------------------
+    "sim_cosine_topk" -> ((s, d) =>
+      Similarity.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        0L, 20)),
+    "sim_knn_join" -> ((s, d) =>
+      Similarity.knnJoin(t(s, d, "embeddings"), "vec_id", "embedding",
+        10, 3)),
+    "sim_lsh_ann" -> ((s, d) =>
+      Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        1L, 20, numPlanes = 6)),
+    // ---- streaming (§2.8) ------------------------------------------
+    "st_stream_agg" -> ((s, d) => Streaming.streamAgg(s, d)),
+    // ---- multimodal plumbing (binary column; rows-only) ------------
+    "mm_extract" -> ((s, d) => {
+      import s.implicits._
+      data.PagesGen.pages(s, 500L)
+        .map(p => (p.lang,
+          if (functions.TextExtractor.extract(p.html) == p.text) 1L else 0L))
+        .toDF("lang", "ok")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum(col("ok")).as("n_invariant_ok"))
+        .orderBy("lang")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s3_count" -> "SELECT count(*) AS n FROM lineitem",
+    "s4_minmax" -> ("SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi, " +
+      "count(DISTINCT l_orderkey) AS nkeys FROM lineitem"),
+    "s9_limit" -> ("SELECT l_orderkey, l_linenumber, round(l_quantity,4) " +
+      "AS qty_r FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20"),
+    "p3_filter_eq" -> ("SELECT event_id, user_id, round(value,4) AS value_r " +
+      "FROM events WHERE event_type = 'click' ORDER BY event_id"),
+    "p4_filter_range" -> ("SELECT count(*) AS n, round(sum(l_extendedprice),2) " +
+      "AS sum_price FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1996-01-01'"),
+    "p6_like" -> ("SELECT p_partkey, p_name FROM part WHERE " +
+      "lower(p_name) LIKE '%old%' ORDER BY p_partkey"),
+    "q1_agg" -> ("SELECT l_returnflag, l_linestatus, " +
+      "round(sum(l_quantity),2) AS sum_qty, " +
+      "round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue, " +
+      "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+      "ORDER BY l_returnflag, l_linestatus"),
+    "a2_facet" -> (s"SELECT term, count(*) AS n FROM (SELECT unnest(" +
+      s"${OracleSql.toksExpr}) AS term FROM documents) GROUP BY term " +
+      "ORDER BY n DESC, term LIMIT 50"),
+    "agg_distinct" -> ("SELECT event_type, count(DISTINCT user_id) AS users, " +
+      "count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"),
+    "j_broadcast" -> ("SELECT n_name, count(*) AS n_cust, " +
+      "round(sum(c_acctbal),2) AS bal FROM customer JOIN nation " +
+      "ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"),
+    "j_large" -> ("SELECT o_orderpriority, count(*) AS n, " +
+      "round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "j_semi" -> ("SELECT c_custkey FROM customer WHERE EXISTS (" +
+      "SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "j_anti" -> ("SELECT p_partkey FROM part WHERE NOT EXISTS (" +
+      "SELECT 1 FROM lineitem WHERE l_partkey = p_partkey) " +
+      "ORDER BY p_partkey"),
+    "w1_latest" -> ("SELECT user_id, event_id AS last_event FROM events " +
+      "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, " +
+      "event_id DESC) = 1 ORDER BY user_id"),
+    "w2_topk" -> ("SELECT event_id, round(value,4) AS value_r FROM events " +
+      "ORDER BY value DESC, event_id LIMIT 15"),
+    "w3_running" -> ("SELECT user_id, event_id, round(sum(value) OVER (" +
+      "PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND CURRENT ROW),4) AS run_sum FROM events " +
+      "WHERE user_id < 20 ORDER BY user_id, event_id"),
+    "w4_window_agg" -> ("SELECT strftime(date_trunc('hour', ts), " +
+      "'%Y-%m-%d %H:%M:%S') AS hr, event_type, count(*) AS n, " +
+      "round(sum(value),4) AS sum_v FROM events GROUP BY 1, 2 " +
+      "ORDER BY hr, event_type"),
+    "set_union" -> ("SELECT c_custkey AS key FROM customer WHERE " +
+      "c_mktsegment = 'BUILDING' UNION SELECT o_custkey AS key FROM orders " +
+      "WHERE o_totalprice > 100000.0 ORDER BY key"),
+    "f1_classifier" -> ("SELECT p_partkey, CASE " +
+      "WHEN regexp_matches(lower(p_name), 'widget') THEN 'widget' " +
+      "WHEN regexp_matches(lower(p_name), 'bolt|nut|screw') THEN 'fastener' " +
+      "WHEN regexp_matches(lower(p_name), 'gear|cog') THEN 'drive' " +
+      "ELSE 'other' END AS label FROM part ORDER BY p_partkey"),
+    "f2_time" -> ("SELECT strftime(date_trunc('hour', ts), " +
+      "'%Y-%m-%d %H:%M:%S') AS hr, count(*) AS n FROM events " +
+      "GROUP BY 1 ORDER BY hr"),
+    "f4_regex" -> ("SELECT p_partkey, regexp_replace(p_type, 'PROMO', " +
+      "'PROMOTION') AS t2 FROM part ORDER BY p_partkey"),
+    "f5_concat" -> ("SELECT concat(n_name, ' - ', r_name) AS full_name " +
+      "FROM nation JOIN region ON n_regionkey = r_regionkey " +
+      "ORDER BY full_name"),
+    "f7_json" -> ("SELECT event_id, CAST(json_extract_string(props, '$.k') " +
+      "AS BIGINT) AS k FROM events ORDER BY event_id"),
+    "ft_tokenize_tf" -> (OracleSql.ftBase +
+      "SELECT doc_id, term, tf FROM tf ORDER BY doc_id, term"),
+    "ft_df" -> (OracleSql.ftBase +
+      "SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf " +
+      "FROM tf GROUP BY term ORDER BY term"),
+    "ft_doclen" -> (OracleSql.ftBase +
+      "SELECT doc_id, dl FROM dl ORDER BY doc_id"),
+    "ft_stats" -> (OracleSql.ftBase +
+      "SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens, " +
+      "round(sum(dl)::DOUBLE / count(*), 6) AS avgdl_r FROM dl"),
+    "ft_bm25_q1" -> OracleSql.bm25(Seq("data", "join"), 10, and = false),
+    "ft_bm25_q2" -> OracleSql.bm25(Seq("the", "window", "slow"), 10,
+      and = false),
+    "ft_bm25_q3" -> OracleSql.bm25(Seq("vector", "hash", "scan", "merge"),
+      10, and = false),
+    "ft_and_search" -> OracleSql.bm25(Seq("data", "join", "order"), 10,
+      and = true),
+    "ft_langid" -> OracleSql.langId,
+    "ft_quality" -> OracleSql.quality,
+    "ft_fingerprint" -> ("SELECT doc_id, md5(text) AS fp FROM documents " +
+      "ORDER BY doc_id"),
+    "dedup_exact" -> ("SELECT md5(text) AS fp, count(*) AS n, " +
+      "min(doc_id) AS keeper FROM documents GROUP BY fp ORDER BY fp"),
+    "dedup_ngram" -> OracleSql.ngramJaccard(0.3),
+    "dedup_minhash_lsh" -> OracleSql.minhashLsh(16, 4, 0.2),
+    "sim_cosine_topk" -> OracleSql.cosineTopK(0L, 20),
+    "sim_knn_join" -> OracleSql.knnJoin(10, 3),
+    "st_stream_agg" -> ("SELECT event_type, count(*) AS n, " +
+      "CAST(sum(user_id) AS BIGINT) AS sum_users FROM events " +
+      "GROUP BY event_type ORDER BY event_type")
+    // dedup_simhash, sim_lsh_ann, mm_extract: engine-only (rows-only
+    // driver check) — simhash bit math and LSH bucketing have no
+    // cross-engine hash; mm_extract consumes generated binary html.
+  )
 }

@@ -29,10 +29,12 @@ object Tokenize {
   }
 
   /** Column form built from codegen'd Spark built-ins (no UDF): stays
-    * inside whole-stage codegen on the build hot path.
+    * inside whole-stage codegen on the build hot path. `array_remove`
+    * (not the higher-order `filter`, whose lambda blocks WSCG) drops
+    * the empty tokens a leading/trailing separator produces.
     */
   def tokensCol(text: Column): Column =
-    filter(split(lower(text), SplitPattern), t => length(t) > lit(0))
+    array_remove(split(lower(text), SplitPattern), "")
 
   /** DuckDB-SQL fragment computing the same token array from a column
     * expression — used when authoring oracle SQL so both engines

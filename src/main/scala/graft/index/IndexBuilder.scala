@@ -78,15 +78,30 @@ object IndexBuilder {
       if (cfg.shufflePartitions > 0) cfg.shufflePartitions
       else spark.sessionState.conf.numShufflePartitions
 
-    // ---- stage: stats + docs meta ---------------------------------
-    val statsDone = resume && ckpt.isComplete("stats", 0)
-    val stats: IndexStats = if (statsDone) {
-      IndexPaths.readStats(spark, outDir)
-    } else {
+    // ---- stage: postings + terms + docs meta + stats ---------------
+    // ONE tokenize pass over the corpus: tf carries dl through the
+    // groupBy keys; the term dictionary, doc metadata, and global
+    // stats all derive from the persisted tf — at 100 TB, re-reading
+    // (and re-splitting) the raw text is the single most expensive
+    // thing a build can do twice.
+    if (!(resume && ckpt.isComplete("postings", 0))) {
       val t0 = System.currentTimeMillis()
-      val docMeta = docs
+      val tf = docs
+        .select($"docId", Tokenize.tokensCol($"text").as("toks"))
+        .select($"docId", size($"toks").as("dl"),
+          explode($"toks").as("term"))
+        .groupBy($"docId", $"dl", $"term")
+        .agg(count(lit(1)).cast("int").as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      // docs meta: dl from tf (zero-token docs kept via left join —
+      // they count toward N and avgdl), url from a tokenize-free,
+      // column-pruned scan of the input.
+      val dls = tf.groupBy($"docId").agg(first($"dl").as("dl"))
+      val docMeta = docs.select($"docId", $"url")
+        .join(dls, Seq("docId"), "left")
         .select($"docId", $"url",
-          size(Tokenize.tokensCol($"text")).as("dl"))
+          coalesce($"dl", lit(0)).cast("int").as("dl"))
         .as[DocMeta]
       docMeta.repartitionByRange(math.max(1, shufP / 2), $"docId")
         .sortWithinPartitions("docId")
@@ -95,30 +110,12 @@ object IndexBuilder {
       // avgdl from an INTEGER token-count sum — exact and independent
       // of partition/summation order, unlike avg() over doubles (the
       // rank-identity contract shares it with the scalar oracle).
-      val agg = written.agg(
+      val agg0 = written.agg(
         count(lit(1)), sum($"dl".cast("long")), max($"docId")).head()
-      val n = agg.getLong(0)
-      val avgdl = if (n == 0) 0.0 else agg.getLong(1).toDouble / n
-      val maxDocId = agg.getLong(2)
-      val s = IndexStats(buildId, n, avgdl, -1L, cfg.numBuckets,
-        cfg.blockSize, maxDocId)
-      IndexPaths.writeStats(spark, outDir, s)
-      ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
-        IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,
-        System.currentTimeMillis()))
-      s
-    }
+      val n = agg0.getLong(0)
+      val avgdl = if (n == 0) 0.0 else agg0.getLong(1).toDouble / n
+      val maxDocId = agg0.getLong(2)
 
-    // ---- stage: staged postings (tokenize + tf + salt + bucket) ---
-    if (!(resume && ckpt.isComplete("postings", 0))) {
-      val t0 = System.currentTimeMillis()
-      // (docId, dl, term) -> tf with map-side partial aggregation.
-      val tf = docs
-        .select($"docId", Tokenize.tokensCol($"text").as("toks"))
-        .select($"docId", size($"toks").as("dl"),
-          explode($"toks").as("term"))
-        .groupBy($"docId", $"dl", $"term")
-        .agg(count(lit(1)).cast("int").as("tf"))
       // Per-term df; hot terms (df > saltTarget) get saltCount > 1.
       val termDf = tf.groupBy($"term")
         .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("cf"))
@@ -135,7 +132,12 @@ object IndexBuilder {
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
       val termsRead = spark.read.parquet(s"$outDir/terms")
       val numTerms = termsRead.count()
-      IndexPaths.writeStats(spark, outDir, stats.copy(numTerms = numTerms))
+      IndexPaths.writeStats(spark, outDir,
+        IndexStats(buildId, n, avgdl, numTerms, cfg.numBuckets,
+          cfg.blockSize, maxDocId))
+      ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
+        IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,
+        System.currentTimeMillis()))
 
       // Salt: hot-term postings are scattered across sub-run keys by a
       // hash of docId, so the merge shuffle sees bounded runs. The term
@@ -155,6 +157,7 @@ object IndexBuilder {
         .repartition(shufP, $"bucket", $"termHash")
         .write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(s"$outDir/postings_staged")
+      tf.unpersist()
       val nPost = spark.read.parquet(s"$outDir/postings_staged").count()
       ckpt.commit(Checkpoint(buildId, "postings", 0, "COMPLETE", nPost,
         IndexPaths.dirBytes(spark, s"$outDir/postings_staged"), lineage,

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Tokenize
+
+/** Text-analysis operators for the training-data pipeline: language
+  * ID, quality scoring, token counting, fingerprinting, simhash.
+  * All are deterministic, codegen-friendly column expressions except
+  * simhash (typed map over md5 bits).
+  *
+  * Reference ancestor: the regex theme classifier
+  * (/root/reference/packages/core/spheraform_core/adapters/theme_classifier.py:19-127)
+  * — a deterministic multi-label scorer over text fields.
+  */
+object TextOps {
+
+  // language-marker stopword sets (shared with the DuckDB oracle SQL)
+  val EnSw = Seq("the", "a", "is", "of", "and", "to", "in")
+  val DeSw = Seq("der", "die", "das", "und", "ist")
+  val FrSw = Seq("le", "la", "les", "et", "est")
+
+  def toks(text: Column): Column = Tokenize.tokensCol(text)
+
+  private def swCount(t: Column, sw: Seq[String]): Column =
+    size(filter(t, x => x.isInCollection(sw)))
+
+  /** Heuristic n-gram language ID: argmax of marker-stopword counts,
+    * tie priority en > de > fr, 'und' when no markers at all.
+    */
+  def langId(text: Column): Column = {
+    val t = toks(text)
+    val en = swCount(t, EnSw); val de = swCount(t, DeSw)
+    val fr = swCount(t, FrSw)
+    when(en === 0 && de === 0 && fr === 0, lit("und"))
+      .when(en >= de && en >= fr, lit("en"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Quality score in [0,1]: length saturation + stopword ratio +
+    * lexical diversity. Same arithmetic AST as the oracle SQL.
+    */
+  def quality(text: Column): Column = {
+    val t = toks(text)
+    val dl = size(t).cast("double")
+    val stopR = swCount(t, EnSw).cast("double") / dl
+    val uniqR = size(array_distinct(t)).cast("double") / dl
+    round(least(dl / lit(100.0), lit(1.0)) * lit(0.5) +
+      stopR * lit(0.3) + uniqR * lit(0.2), 4)
+  }
+
+  def tokenCount(text: Column): Column = size(toks(text)).cast("long")
+
+  /** Document fingerprint = md5 hex (matches DuckDB md5). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Word 3-gram shingles (distinct), for Jaccard/minhash dedup. */
+  def shingles(text: Column): Column = {
+    val t = toks(text)
+    array_distinct(
+      transform(sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
+          element_at(t, i + 3))))
+  }
+
+  /** MinHash signature: element j = min over shingles of
+    * md5(j || '|' || shingle) — string min of hex digests, identically
+    * computable in DuckDB (no shared 64-bit hash exists across the
+    * engines, but md5 does).
+    */
+  def minhash(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingleArr, s =>
+        md5(concat(lit(j.toString), lit("|"), s))))
+    }: _*)
+
+  /** 64-bit simhash over tokens: per-token md5-derived bits, weighted
+    * bit-majority. Pure Scala (not SQL-oracle-able; covered by unit
+    * tests instead).
+    */
+  def simhash64(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}

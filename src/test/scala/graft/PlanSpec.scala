@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.data.PagesGen
+import graft.index.{DocIds, IndexBuilder}
+
+/** Plan-quality assertions: the optimizations the engine depends on at
+  * 100 TB must be visible in the physical plan, not assumed.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  lazy val idxDir: String = {
+    val dir = SparkTestSession.tmpDir("graft_plan")
+    val docs = DocIds.fromPages(PagesGen.pages(spark, 400L), 4)
+    IndexBuilder.build(docs, dir,
+      IndexBuilder.Config(numBuckets = 8, blockSize = 32, numGroups = 2,
+        saltTarget = 200L, shufflePartitions = 4), "plan")
+    dir
+  }
+
+  test("segment scan prunes partitions by bucket and pushes termHash") {
+    val h = IndexBuilder.xxhash("term000001")
+    val b = IndexBuilder.bucketOf(h, 8)
+    val plan = spark.read.parquet(s"$idxDir/segments")
+      .filter(col("bucket") === b && col("termHash") === h)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("bucket"), s"no partition pruning in:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("termHash"),
+      s"no termHash pushdown in:\n$plan")
+  }
+
+  test("docs scan for doclen prunes to needed columns only") {
+    val plan = spark.read.parquet(s"$idxDir/docs")
+      .select(col("docId"), col("dl"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && !plan.contains("url"),
+      s"url not pruned from:\n$plan")
+  }
+
+  test("tokenize+tf pipeline stays in whole-stage codegen from parquet") {
+    val pagesDir = SparkTestSession.tmpDir("graft_plan_pages")
+    PagesGen.pages(spark, 50L).write.mode("overwrite").parquet(pagesDir)
+    val agg = spark.read.parquet(pagesDir)
+      .select(graft.functions.Tokenize.tokensCol(col("text")).as("toks"))
+      .select(explode(col("toks")).as("term"))
+      .groupBy("term").count()
+    agg.collect() // finalize THIS query's adaptive plan
+    // whole-stage codegen spans render as "*(n) Operator"
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen span in:\n$plan")
+    // tf aggregation must have a map-side partial (combine before shuffle)
+    assert(plan.contains("partial_count"), s"no partial agg in:\n$plan")
+    // and the scan must prune to the text column only
+    assert(plan.contains("ReadSchema") && !plan.contains("html"),
+      s"html not pruned from tokenize scan:\n$plan")
+  }
+
+  test("back-join of tiny hit set broadcasts") {
+    import spark.implicits._
+    val hits = Seq((1L, 1), (2L, 2)).toDF("docId", "rank")
+    val joined = spark.read.parquet(s"$idxDir/docs")
+      .join(broadcast(hits), "docId")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
