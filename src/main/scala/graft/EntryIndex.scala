@@ -17,7 +17,7 @@ object EntryIndex {
   private def indexDirFor(dir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    s"/tmp/graft_entry_index/$h"
+    s"/tmp/graft_entry_index/v2_$h" // v2: (maxTf, minDl) block format
   }
 
   def ensure(spark: SparkSession, dir: String): String = synchronized {

@@ -67,23 +67,49 @@ object Main {
         val stats = IndexBuilder.build(docs, indexDir, cfg,
           buildId = s"cli-${System.currentTimeMillis()}",
           resume = true, lineage = src)
+        // record the ingestion watermark so `delta` can change-detect
+        val maxTs = pages.agg(org.apache.spark.sql.functions
+          .max(org.apache.spark.sql.functions.col("warc_ts")))
+          .head().getTimestamp(0)
+        if (maxTs != null)
+          graft.index.Incremental.writeWatermark(spark, indexDir, maxTs)
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"built index: docs=${stats.numDocs} terms=${stats.numTerms} " +
           f"avgdl=${stats.avgdl}%.2f buckets=${stats.numBuckets} " +
           f"in $secs%.1fs (${nDocs / secs}%.0f docs/sec)")
 
       case "search" =>
-        val indexDir = args(1)
+        // indexDir may be a comma-list of generations (base,delta,...)
+        val dirs = args(1).split(",").toSeq
         val k = args(2).toInt
         val q = args.drop(3).mkString(" ")
-        val hits = Searcher.search(spark, indexDir,
-          Seq(QuerySpec(0L, q)), k)
-        val withUrls = Searcher.withUrls(spark, indexDir, hits)
+        val hits = Searcher.searchMulti(spark, dirs, Seq(QuerySpec(0L, q)), k)
+        val withUrls = Searcher.withUrlsMulti(spark, dirs, hits)
         val secs = (System.nanoTime() - t0) / 1e9
         withUrls.collect().sortBy(_._2).foreach { case (_, r, d, s, u) =>
           println(f"$r%2d. doc=$d%-8d score=$s%.4f  $u")
         }
         println(f"query '$q' took $secs%.2fs total (incl. session)")
+
+      case "delta" =>
+        // incremental: index only pages newer than the base watermark
+        val src = args(1)
+        val baseDirs = args(2).split(",").toSeq
+        val deltaDir = args(3)
+        import spark.implicits._
+        val pages =
+          if (src.startsWith("gen:"))
+            PagesGen.pages(spark, src.stripPrefix("gen:").toLong)
+          else spark.read.parquet(src).as[graft.data.PageRow]
+        val wm = baseDirs.flatMap(d =>
+          graft.index.Incremental.readWatermark(spark, d))
+          .sortBy(_.getTime).lastOption
+        val fresh = graft.index.Incremental.newPages(pages, wm)
+        val nFresh = fresh.count()
+        val stats = graft.index.Incremental.buildDelta(fresh, baseDirs,
+          deltaDir, IndexBuilder.Config())
+        println(s"delta over watermark=$wm: $nFresh new docs → " +
+          s"${stats.numDocs} indexed, maxDocId=${stats.maxDocId}")
 
       case "queryset" =>
         val indexDir = args(1)
@@ -95,6 +121,13 @@ object Main {
           println(s"q${q.queryId} '${q.text}': " +
             top.map(h => f"${h.docId}:${h.score}%.3f").mkString(" "))
         }
+
+      case "compact" =>
+        val gens = args(1).split(",").toSeq
+        val outDir = args(2)
+        val stats = graft.index.Compaction.compact(spark, gens, outDir)
+        println(s"compacted ${gens.size} generations → $outDir: " +
+          s"docs=${stats.numDocs} terms=${stats.numTerms}")
 
       case other =>
         System.err.println(s"unknown command: $other"); usage(); sys.exit(2)

@@ -1,0 +1,110 @@
+package graft.index
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Compaction: merge several index generations (a base + deltas) into
+  * one, WITHOUT re-tokenizing — postings are decoded from the segment
+  * blocks, per-term df/cf are re-summed globally, hot terms re-salted
+  * under the merged df, and the standard merge-by-term encode runs.
+  * docIds are preserved (generations are docId-disjoint by
+  * construction), so compacted results are identical to
+  * [[graft.query.Searcher.searchMulti]] over the inputs — scores AND
+  * docIds.
+  *
+  * Ancestor: the reference's landing-zone promote step
+  * (/root/reference/packages/core/spheraform_core/storage/backend.py:473-535) —
+  * staged partial artifacts become the canonical one.
+  */
+object Compaction {
+
+  def compact(spark: SparkSession, gens: Seq[String], outDir: String,
+              cfg: IndexBuilder.Config = IndexBuilder.Config(),
+              buildId: String = "compact"): IndexStats = {
+    import spark.implicits._
+    val ckpt = new CheckpointStore(spark, outDir)
+    val t0 = System.currentTimeMillis()
+    val lineage = gens.mkString(",")
+    val shufP =
+      if (cfg.shufflePartitions > 0) cfg.shufflePartitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    // 1. docs meta: disjoint union, re-sorted by docId
+    val docsAll = gens.map(d => spark.read.parquet(s"$d/docs"))
+      .reduce(_ unionByName _)
+    docsAll.repartitionByRange(math.max(1, shufP / 2), $"docId")
+      .sortWithinPartitions("docId")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
+    val written = spark.read.parquet(s"$outDir/docs")
+    val agg0 = written.agg(count(lit(1)), sum($"dl".cast("long")),
+      max($"docId")).head()
+    val n = agg0.getLong(0)
+    val totalTokens = agg0.getLong(1)
+    val avgdl = if (n == 0) 0.0 else totalTokens.toDouble / n
+
+    // 2. terms: re-sum df/cf across generations; re-salt under the
+    //    merged df
+    val termsAll = gens.map(d => spark.read.parquet(s"$d/terms"))
+      .reduce(_ unionByName _)
+      .groupBy($"term", $"termHash")
+      .agg(sum($"df").as("df"), sum($"cf").as("cf"))
+      .withColumn("saltCount",
+        when($"df" > cfg.saltTarget,
+          ceil($"df".cast("double") / cfg.saltTarget).cast("int"))
+          .otherwise(lit(1)))
+      .select($"term", $"termHash", $"df", $"cf", $"saltCount")
+    termsAll.repartitionByRange(math.max(1, shufP / 4), $"termHash")
+      .sortWithinPartitions("termHash")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
+    val termsRead = spark.read.parquet(s"$outDir/terms")
+    val numTerms = termsRead.count()
+    val stats = IndexStats(buildId, n, avgdl, numTerms, cfg.numBuckets,
+      cfg.blockSize, agg0.getLong(2), totalTokens)
+    IndexPaths.writeStats(spark, outDir, stats)
+    ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
+      IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,
+      System.currentTimeMillis()))
+
+    // 3. postings: decode blocks (no tokenize), re-key, merge-encode
+    val decoded = gens.map(d =>
+        spark.read.parquet(s"$d/segments").as[SegmentBlock])
+      .reduce(_ union _)
+      .flatMap { b =>
+        val ds = Codec.decodeDeltas(b.docIdsEnc, b.n, b.firstDocId)
+        val tfs = Codec.decodeVarByte(b.tfsEnc, b.n)
+        val dls = Codec.decodeVarByte(b.dlsEnc, b.n)
+        (0 until b.n).iterator.map(i =>
+          (b.term, ds(i), tfs(i).toInt, dls(i).toInt))
+      }
+      .toDF("term", "docId", "tf", "dl")
+    val shift = 64 - java.lang.Integer.numberOfTrailingZeros(cfg.numBuckets)
+    val bucketCol =
+      if (cfg.numBuckets == 1) lit(0)
+      else shiftrightunsigned(
+        col("termHash").bitwiseXOR(lit(Long.MinValue)), shift).cast("int")
+    val staged = decoded
+      .join(termsRead.select($"term", $"df", $"saltCount"), Seq("term"))
+      .withColumn("skey",
+        when($"saltCount" > 1,
+          concat($"term", lit("#"),
+            pmod(xxhash64($"docId"), $"saltCount".cast("long"))))
+          .otherwise($"term"))
+      .withColumn("termHash", xxhash64($"skey"))
+      .withColumn("bucket", bucketCol)
+      .select($"bucket", $"termHash", $"skey", $"term", $"df",
+        $"docId", $"tf", $"dl")
+      .as[StagedPosting]
+    IndexBuilder.encodeSegments(staged, stats, cfg)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$outDir/segments")
+    ckpt.commit(Checkpoint(buildId, "segments", 0, "COMPLETE",
+      spark.read.parquet(s"$outDir/segments").count(),
+      IndexPaths.dirBytes(spark, s"$outDir/segments"), lineage, t0,
+      System.currentTimeMillis()))
+    // carry the newest watermark forward
+    gens.flatMap(d => Incremental.readWatermark(spark, d))
+      .sortBy(_.getTime).lastOption
+      .foreach(ts => Incremental.writeWatermark(spark, outDir, ts))
+    stats
+  }
+}

@@ -36,7 +36,8 @@ object DocIds {
     * trusts the `text` column otherwise.
     */
   def fromPages(pages: Dataset[PageRow], numPartitions: Int,
-                useExtractor: Boolean = false): Dataset[Doc] = {
+                useExtractor: Boolean = false,
+                offset: Long = 0L): Dataset[Doc] = {
     val spark = pages.sparkSession
     import spark.implicits._
     val docs =
@@ -44,45 +45,43 @@ object DocIds {
         pages.map(p => (p.url, TextExtractor.extract(p.html)))
       else
         pages.map(p => (p.url, p.text))
-    assign(docs.toDF("url", "text"))
+    assign(docs.toDF("url", "text"), numPartitions, offset)
   }
 
-  /** Assign docIds to any (url, text) DataFrame-shaped dataset. */
+  /** Assign docIds to any (url, text) DataFrame-shaped dataset.
+    * `offset` starts numbering above an existing generation's
+    * maxDocId (incremental append).
+    */
   def assign(docs: Dataset[org.apache.spark.sql.Row],
-             numPartitions: Int = 0): Dataset[Doc] = {
+             numPartitions: Int = 0, offset: Long = 0L): Dataset[Doc] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val p = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
+    // ONE shuffle + ONE cache: everything derives from the cached
+    // sorted corpus (DataFrame actions re-plan Exchanges, so without
+    // the cache each downstream traversal would re-shuffle).
     val sorted = docs
       .select(col("url").cast("string"), col("text").cast("string"))
       .repartitionByRange(p, col("url"))
       .sortWithinPartitions("url")
       .as[(String, String)]
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      // Pass 1: per-partition counts -> driver prefix sum (P longs).
-      val counts = sorted
-        .mapPartitions(it => Iterator.single(it.size))(Encoders.scalaInt)
-        .collect()
-      val offsets = counts.scanLeft(0L)(_ + _)
-      val bc = spark.sparkContext.broadcast(offsets)
-      // Pass 2: local rank + partition offset = global rank.
-      val assigned = sorted.mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var rank = bc.value(pid)
-        it.map { case (url, text) =>
-          val d = Doc(rank, url, text)
-          rank += 1
-          d
-        }
+    // Pass 1: per-partition counts -> prefix sum (P longs on driver).
+    val counts = sorted
+      .mapPartitions(it => Iterator.single(it.size))(Encoders.scalaInt)
+      .collect()
+    val offsets = counts.scanLeft(offset)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    // Pass 2 (lazy, cheap map over the cache): local rank + offset.
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var rank = bc.value(pid)
+      it.map { case (url, text) =>
+        val d = Doc(rank, url, text)
+        rank += 1
+        d
       }
-      // Materialize before unpersisting the parent.
-      assigned.persist(StorageLevel.MEMORY_AND_DISK).count()
-      assigned
-    } finally {
-      // parent no longer needed once children are materialized
-      ()
     }
   }
 }

@@ -46,22 +46,44 @@ object IndexBuilder {
                       * simulating a mid-build crash (FIXTURES.md §6) */
                     failAfterGroup: Int = -1)
 
-  /** xxhash64 with Spark's default seed (42) — evaluated driver-side
-    * for query terms, column-side for build; both are the same
-    * Catalyst implementation so they agree exactly.
+  /** xxhash64 with Spark's default seed (42) — the same XXH64 the
+    * `xxhash64` column function uses, called directly (building a
+    * Literal+Expression per call costs an allocation storm on hot
+    * paths).
     */
   def xxhash(s: String): Long = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    XxHash64(Seq(Literal.create(s, org.apache.spark.sql.types.StringType)),
-      42L).eval(null).asInstanceOf[Long]
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
   }
 
   def saltKey(term: String, salt: Int): String = term + "#" + salt
-  def saltOf(docId: Long, saltCount: Int): Int =
-    Math.floorMod(graft.Det.mix(docId), saltCount.toLong).toInt
 
-  def bucketOf(termHash: Long, numBuckets: Int): Int =
-    Math.floorMod(termHash, numBuckets.toLong).toInt
+  /** Salt assignment = xxhash64 of the docId (as a long), mod
+    * saltCount — expressible identically as a Column (codegen'd build
+    * path) and in Scala (tests, compaction).
+    */
+  def saltOf(docId: Long, saltCount: Int): Int =
+    Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(docId, 42L),
+      saltCount.toLong).toInt
+
+  /** Bucket = the top log2(numBuckets) bits of termHash in SIGNED
+    * order (sign-bit flip makes unsigned shift monotone in signed
+    * comparisons). Monotone-in-termHash matters: the merge shuffle is
+    * a range partition on termHash, so each encoder task covers a
+    * contiguous hash range = 1-2 bucket dirs — with a mod bucket every
+    * task would write files into ALL numBuckets dirs and output-commit
+    * cost would scale with cores × buckets (measured anti-scaling).
+    * numBuckets must be a power of two.
+    */
+  def bucketOf(termHash: Long, numBuckets: Int): Int = {
+    require((numBuckets & (numBuckets - 1)) == 0 && numBuckets > 0,
+      s"numBuckets must be a power of 2, got $numBuckets")
+    val shift = 64 - java.lang.Integer.numberOfTrailingZeros(numBuckets)
+    if (shift == 64) 0
+    else ((termHash ^ Long.MinValue) >>> shift).toInt
+  }
 
   // ---------------------------------------------------------------- build
 
@@ -86,12 +108,36 @@ object IndexBuilder {
     // thing a build can do twice.
     if (!(resume && ckpt.isComplete("postings", 0))) {
       val t0 = System.currentTimeMillis()
+      // tf is a PER-DOCUMENT aggregation and documents are rows — so
+      // count within the task (one small hash map per doc) and never
+      // shuffle the exploded token stream: an explode→groupBy(docId,
+      // term) formulation shuffles+hash-aggregates |tokens| rows
+      // (~10^14 at the 10^12-doc scale) for something each task can do
+      // locally.
       val tf = docs
-        .select($"docId", Tokenize.tokensCol($"text").as("toks"))
-        .select($"docId", size($"toks").as("dl"),
-          explode($"toks").as("term"))
-        .groupBy($"docId", $"dl", $"term")
-        .agg(count(lit(1)).cast("int").as("tf"))
+        .mapPartitions { it =>
+          it.flatMap { d =>
+            val toks = Tokenize.tokens(d.text)
+            val dl = toks.length
+            val m = new java.util.HashMap[String, Int](
+              math.max(16, dl * 2))
+            var i = 0
+            while (i < toks.length) {
+              m.merge(toks(i), 1, (a, b) => a + b)
+              i += 1
+            }
+            val out = new Array[(Long, Int, String, Int)](m.size)
+            val eit = m.entrySet().iterator()
+            var j = 0
+            while (eit.hasNext) {
+              val e = eit.next()
+              out(j) = (d.docId, dl, e.getKey, e.getValue)
+              j += 1
+            }
+            out.iterator
+          }
+        }
+        .toDF("docId", "dl", "term", "tf")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // docs meta: dl from tf (zero-token docs kept via left join —
@@ -134,7 +180,7 @@ object IndexBuilder {
       val numTerms = termsRead.count()
       IndexPaths.writeStats(spark, outDir,
         IndexStats(buildId, n, avgdl, numTerms, cfg.numBuckets,
-          cfg.blockSize, maxDocId))
+          cfg.blockSize, maxDocId, agg0.getLong(1)))
       ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
         IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,
         System.currentTimeMillis()))
@@ -142,19 +188,29 @@ object IndexBuilder {
       // Salt: hot-term postings are scattered across sub-run keys by a
       // hash of docId, so the merge shuffle sees bounded runs. The term
       // dictionary is small relative to postings — AQE broadcasts it.
-      val salted = tf
+      // Everything below is COLUMN expressions (whole-stage codegen);
+      // a typed map here measured ~5x slower on the 16M-posting path.
+      val shift = 64 - java.lang.Integer.numberOfTrailingZeros(cfg.numBuckets)
+      val bucketCol =
+        if (cfg.numBuckets == 1) lit(0)
+        else shiftrightunsigned(
+          col("termHash").bitwiseXOR(lit(Long.MinValue)), shift).cast("int")
+      val staged = tf
         .join(termsRead.select($"term", $"df", $"saltCount"), Seq("term"))
-        .select($"term", $"df", $"saltCount", $"docId", $"tf", $"dl")
-      val staged = salted.as[(String, Long, Int, Long, Int, Int)]
-        .map { case (term, df, saltCount, docId, tfv, dl) =>
-          val skey = if (saltCount > 1) saltKey(term, saltOf(docId, saltCount))
-                     else term
-          val th = xxhash(skey)
-          StagedPosting(bucketOf(th, cfg.numBuckets), th, skey, term,
-            df, docId, tfv, dl)
-        }
+        .withColumn("skey",
+          when($"saltCount" > 1,
+            concat($"term", lit("#"),
+              pmod(xxhash64($"docId"), $"saltCount".cast("long"))))
+            .otherwise($"term"))
+        .withColumn("termHash", xxhash64($"skey"))
+        .withColumn("bucket", bucketCol)
+        .select($"bucket", $"termHash", $"skey", $"term", $"df",
+          $"docId", $"tf", $"dl")
+        .as[StagedPosting]
+      // Range-partition the staging write too: contiguous termHash per
+      // task → each task touches 1-2 bucket dirs, not all of them.
       staged
-        .repartition(shufP, $"bucket", $"termHash")
+        .repartitionByRange(shufP, $"termHash", $"skey")
         .write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(s"$outDir/postings_staged")
       tf.unpersist()
@@ -209,8 +265,6 @@ object IndexBuilder {
     val shufP =
       if (cfg.shufflePartitions > 0) cfg.shufflePartitions
       else spark.sessionState.conf.numShufflePartitions
-    val n = stats.numDocs
-    val avgdl = stats.avgdl
     val blockSize = cfg.blockSize
     // Range-partition on (termHash, skey) ONLY — never docId: equal
     // keys land in one partition, so a storage key's whole run is
@@ -237,16 +291,16 @@ object IndexBuilder {
               if (curKey == null || key != curKey) { curKey = key; blockId = 0 }
               val head = cur
               var m = 0
-              var maxS = Double.NegativeInfinity
-              val idfv = BM25.idf(n, head.df)
+              var maxTf = 0
+              var minDl = Int.MaxValue
               var last = 0L
               while (m < blockSize && cur != null &&
                      cur.termHash == head.termHash && cur.skey == head.skey) {
                 dBuf(m) = cur.docId
                 tBuf(m) = cur.tf.toLong
                 lBuf(m) = cur.dl.toLong
-                val s = BM25.score(cur.tf.toLong, cur.dl.toLong, avgdl, idfv)
-                if (s > maxS) maxS = s
+                if (cur.tf > maxTf) maxTf = cur.tf
+                if (cur.dl < minDl) minDl = cur.dl
                 last = cur.docId
                 m += 1
                 cur = if (it.hasNext) it.next() else null
@@ -255,7 +309,7 @@ object IndexBuilder {
               pending = SegmentBlock(
                 bucketOf(head.termHash, stats.numBuckets), head.termHash,
                 head.skey, head.term, head.df, blockId, m, first, last,
-                maxS,
+                maxTf, minDl,
                 Codec.encodeDeltas(java.util.Arrays.copyOf(dBuf, m), first),
                 Codec.encodeVarByte(java.util.Arrays.copyOf(tBuf, m)),
                 Codec.encodeVarByte(java.util.Arrays.copyOf(lBuf, m)))

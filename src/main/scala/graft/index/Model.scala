@@ -22,9 +22,13 @@ case class StagedPosting(bucket: Int, termHash: Long, skey: String,
 
 /** One compressed posting block: up to `blockSize` postings of one
   * storage key, sorted by docId; docIds delta+varbyte encoded against
-  * `firstDocId`, tfs and dls varbyte. `maxScore` is the exact maximum
-  * BM25 contribution of any posting in the block — the block-max bound
-  * WAND prunes with.
+  * `firstDocId`, tfs and dls varbyte. `maxTf`/`minDl` give the exact
+  * block-max BM25 bound — BM25 is monotone increasing in tf and
+  * decreasing in dl, so score(maxTf, minDl | CURRENT stats) bounds
+  * every posting in the block. Storing the bound's INGREDIENTS rather
+  * than a baked score keeps blocks valid when global stats move
+  * (incremental appends change N/avgdl/df; a frozen score would stop
+  * being an upper bound and break WAND exactness).
   *
   * Analog of the reference's lossy pre-aggregation tier (PMTiles
   * block metadata, /root/reference/packages/core/spheraform_core/storage/pmtiles_gen.py:31-131)
@@ -33,13 +37,16 @@ case class StagedPosting(bucket: Int, termHash: Long, skey: String,
 case class SegmentBlock(bucket: Int, termHash: Long, skey: String,
                         term: String, df: Long, blockId: Int, n: Int,
                         firstDocId: Long, lastDocId: Long,
-                        maxScore: Double, docIdsEnc: Array[Byte],
+                        maxTf: Int, minDl: Int, docIdsEnc: Array[Byte],
                         tfsEnc: Array[Byte], dlsEnc: Array[Byte])
 
-/** Global index statistics (the `stats.json` sidecar). */
+/** Global index statistics (the `stats.json` sidecar). `totalTokens`
+  * makes stats exactly combinable across index generations:
+  * avgdl(a ∪ b) = (tokens_a + tokens_b) / (docs_a + docs_b).
+  */
 case class IndexStats(buildId: String, numDocs: Long, avgdl: Double,
                       numTerms: Long, numBuckets: Int, blockSize: Int,
-                      maxDocId: Long)
+                      maxDocId: Long, totalTokens: Long)
 
 /** Per-unit build checkpoint with lineage + metrics — the direct
   * descendant of the reference's resumable DownloadChunk

@@ -64,8 +64,28 @@ object Dedup {
         TextOps.shingles(col(textCol)).as("shs"))
       .filter(size(col("shs")) > 0)
     sh.cache()
-    val sig = sh.select(col("doc_id"),
-      TextOps.minhash(col("shs"), numHashes).as("mh"))
+    // Typed minhash: the 16-way md5 Column expression overflows janino
+    // codegen (falls back to interpreted, ~10x slower); a mapPartitions
+    // with one reused MessageDigest computes identical hex strings.
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val sig = sh.as[(Long, Seq[String])].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(b: Array[Byte]): String =
+        b.map(x => f"$x%02x").mkString
+      it.map { case (id, shs) =>
+        val mh = Array.tabulate(numHashes) { j =>
+          var best: String = null
+          shs.foreach { s =>
+            md.reset()
+            val h = hex(md.digest(s"$j|$s".getBytes("UTF-8")))
+            if (best == null || h < best) best = h
+          }
+          best
+        }
+        (id, mh.toSeq)
+      }
+    }.toDF("doc_id", "mh")
     // band value = concatenated minhashes of the band's rows
     val banded = sig.select(col("doc_id"), explode(
       array((0 until bands).map { b =>

@@ -48,24 +48,53 @@ object Searcher {
 
   def search(spark: SparkSession, indexDir: String,
              queries: Seq[QuerySpec], k: Int = 10, mode: Mode = Or,
-             numRanges: Int = 8): Dataset[SearchHit] = {
+             numRanges: Int = 8): Dataset[SearchHit] =
+    searchMulti(spark, Seq(indexDir), queries, k, mode, numRanges)
+
+  /** Search the union of several index generations (a base build plus
+    * incremental deltas). Global stats combine exactly
+    * (N = ΣnumDocs, avgdl = ΣtotalTokens / ΣnumDocs, df = Σdf per
+    * term), and block bounds are derived from (maxTf, minDl) under
+    * those CURRENT stats — so results are rank-identical to a full
+    * rebuild over the union corpus (modulo docId numbering).
+    */
+  def searchMulti(spark: SparkSession, indexDirs: Seq[String],
+                  queries: Seq[QuerySpec], k: Int = 10, mode: Mode = Or,
+                  numRanges: Int = 8): Dataset[SearchHit] = {
     import spark.implicits._
-    val stats = IndexPaths.readStats(spark, indexDir)
+    val statsList = indexDirs.map(d => IndexPaths.readStats(spark, d))
+    val nTotal = statsList.map(_.numDocs).sum
+    val tokTotal = statsList.map(_.totalTokens).sum
+    val stats = statsList.head.copy(
+      numDocs = nTotal,
+      totalTokens = tokTotal,
+      avgdl = if (statsList.size == 1) statsList.head.avgdl
+              else if (nTotal == 0) 0.0 else tokTotal.toDouble / nTotal,
+      maxDocId = statsList.map(_.maxDocId).max)
 
     // 1. tokenize + dictionary lookup (driver; dictionaries pruned by
-    //    termHash pushdown, not a full scan)
+    //    termHash pushdown, not a full scan); df summed across
+    //    generations for the global idf
     val qTerms: Map[Long, Seq[String]] = queries.map { q =>
       q.queryId -> Tokenize.tokens(q.text).distinct.toSeq
     }.toMap
     val allTerms = qTerms.values.flatten.toSeq.distinct
     if (allTerms.isEmpty) return spark.emptyDataset[SearchHit]
     val hashes = allTerms.map(IndexBuilder.xxhash)
-    val metaByTerm: Map[String, TermMeta] = spark.read
-      .parquet(s"$indexDir/terms")
-      .filter($"termHash".isin(hashes: _*))
-      .as[TermMeta].collect()
-      .filter(t => allTerms.contains(t.term))
-      .map(t => t.term -> t).toMap
+    // per index generation: term -> meta (salt layout is per-index)
+    val metaPerIndex: Seq[Map[String, TermMeta]] = indexDirs.map { d =>
+      spark.read.parquet(s"$d/terms")
+        .filter($"termHash".isin(hashes: _*))
+        .as[TermMeta].collect()
+        .filter(t => allTerms.contains(t.term))
+        .map(t => t.term -> t).toMap
+    }
+    val metaByTerm: Map[String, TermMeta] = allTerms.flatMap { term =>
+      val metas = metaPerIndex.flatMap(_.get(term))
+      if (metas.isEmpty) None
+      else Some(term -> metas.head.copy(df = metas.map(_.df).sum,
+        cf = metas.map(_.cf).sum))
+    }.toMap
 
     val plans: Seq[Plan] = queries.flatMap { q =>
       val metas = qTerms(q.queryId).flatMap(metaByTerm.get)
@@ -80,24 +109,25 @@ object Searcher {
     }
     if (plans.isEmpty) return spark.emptyDataset[SearchHit]
 
-    // 2. storage keys (term or salted sub-runs) → touched buckets/hashes
-    case class KeyUse(queryId: Long, termIdx: Int, idf: Double)
+    // 2. storage keys (term or salted sub-runs) → touched buckets and
+    //    hashes, PER index generation (salt layout is per-index; idf
+    //    is global). The skey→(query, termIdx, idf) map merges across
+    //    generations — identical values for identical keys.
     val keyUses: Map[String, Seq[(Long, Int, Double)]] = plans
       .flatMap { p =>
         p.terms.flatMap { t =>
           val idf = BM25.idf(stats.numDocs, t.df)
-          val keys =
-            if (t.saltCount > 1)
-              (0 until t.saltCount).map(s => IndexBuilder.saltKey(t.term, s))
-            else Seq(t.term)
-          keys.map(k => k -> ((p.queryId, p.termIdx(t.term), idf)))
+          metaPerIndex.flatMap(_.get(t.term)).flatMap { tm =>
+            val keys =
+              if (tm.saltCount > 1)
+                (0 until tm.saltCount).map(s =>
+                  IndexBuilder.saltKey(t.term, s))
+              else Seq(t.term)
+            keys.map(k => k -> ((p.queryId, p.termIdx(t.term), idf)))
+          }
         }
       }
-      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
-    val skeyHashes = keyUses.keys.map(IndexBuilder.xxhash).toSeq
-    val buckets = skeyHashes
-      .map(h => IndexBuilder.bucketOf(h, stats.numBuckets)).distinct
-
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
     val bcUses = spark.sparkContext.broadcast(keyUses)
     val maxDoc = stats.maxDocId + 1
     val ranges = math.max(1, numRanges)
@@ -111,11 +141,24 @@ object Searcher {
     val isAnd = mode == And
     val avgdl = stats.avgdl
 
-    // 3. scan touched segments (pruned) and scatter by (query, range)
-    val blocks = spark.read.parquet(s"$indexDir/segments")
-      .filter($"bucket".isin(buckets: _*) &&
-        $"termHash".isin(skeyHashes: _*))
-      .as[SegmentBlock]
+    // 3. scan touched segments of every generation (partition pruning
+    //    on bucket + row-group pruning on termHash), union, scatter
+    val blocks = indexDirs.zip(statsList).map { case (d, st) =>
+      val idxMetas = metaPerIndex(indexDirs.indexOf(d))
+      val idxKeys = plans.flatMap(_.terms.map(_.term)).distinct
+        .flatMap(term => idxMetas.get(term).toSeq.flatMap { tm =>
+          if (tm.saltCount > 1)
+            (0 until tm.saltCount).map(s => IndexBuilder.saltKey(term, s))
+          else Seq(term)
+        })
+      val idxHashes = idxKeys.map(IndexBuilder.xxhash)
+      val idxBuckets = idxHashes
+        .map(h => IndexBuilder.bucketOf(h, st.numBuckets)).distinct
+      spark.read.parquet(s"$d/segments")
+        .filter($"bucket".isin(idxBuckets: _*) &&
+          $"termHash".isin(idxHashes: _*))
+        .as[SegmentBlock]
+    }.reduce(_ union _)
 
     val scattered = blocks.flatMap { b =>
       bcUses.value.getOrElse(b.skey, Seq.empty).iterator.flatMap {
@@ -139,8 +182,7 @@ object Searcher {
         val cursors = bySkey.map { case ((tIdx, _), rows) =>
           val idf = rows.head._4
           val bs = rows.map(_._5).sortBy(_.firstDocId).toArray
-          val ub = bs.map(_.maxScore).max
-          new Cursor(tIdx, idf, ub, bs, avgdl, lo, hi)
+          new Cursor(tIdx, idf, bs, avgdl, lo, hi)
         }.toArray
         val top =
           if (isAnd) {
@@ -172,13 +214,19 @@ object Searcher {
     * broadcasts the hits.
     */
   def withUrls(spark: SparkSession, indexDir: String,
-               hits: Dataset[SearchHit]): Dataset[(Long, Int, Long, Double, String)] = {
+               hits: Dataset[SearchHit]): Dataset[(Long, Int, Long, Double, String)] =
+    withUrlsMulti(spark, Seq(indexDir), hits)
+
+  def withUrlsMulti(spark: SparkSession, indexDirs: Seq[String],
+                    hits: Dataset[SearchHit]): Dataset[(Long, Int, Long, Double, String)] = {
     import spark.implicits._
     val h = hits.collect()
     val ids = h.map(_.docId).distinct.toSeq
-    val docs = spark.read.parquet(s"$indexDir/docs")
-      .filter($"docId".isin(ids: _*))
-      .select($"docId", $"url").as[(Long, String)].collect().toMap
+    val docs = indexDirs.flatMap { d =>
+      spark.read.parquet(s"$d/docs")
+        .filter($"docId".isin(ids: _*))
+        .select($"docId", $"url").as[(Long, String)].collect()
+    }.toMap
     spark.createDataset(h.toSeq.map(x =>
       (x.queryId, x.rank, x.docId, x.score, docs.getOrElse(x.docId, ""))))
   }

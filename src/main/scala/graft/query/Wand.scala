@@ -7,12 +7,25 @@ import graft.index.{Codec, SegmentBlock}
   * sub-run of a hot term), restricted to a docId window [lo, hi).
   *
   * Blocks decode lazily: `advanceShallow` moves between blocks using
-  * only (firstDocId, lastDocId, maxScore) metadata — the skip that
-  * makes block-max WAND cheaper than exhaustive evaluation.
+  * only (firstDocId, lastDocId, maxTf/minDl) metadata — the skip that
+  * makes block-max WAND cheaper than exhaustive evaluation. Block
+  * upper bounds are computed HERE from the current global stats
+  * (idf, avgdl), so they stay exact across incremental index
+  * generations.
   */
-final class Cursor(val termIdx: Int, val idf: Double, val ub: Double,
+final class Cursor(val termIdx: Int, val idf: Double,
                    blocks: Array[SegmentBlock], avgdl: Double,
                    lo: Long, hi: Long) {
+
+  /** Exact upper bound of a block under CURRENT stats: BM25 is
+    * monotone ↑ in tf and ↓ in dl.
+    */
+  @inline private def blockUb(b: SegmentBlock): Double =
+    BM25.score(b.maxTf.toLong, b.minDl.toLong, avgdl, idf)
+
+  /** Term-level upper bound for WAND pivoting. */
+  val ub: Double =
+    if (blocks.isEmpty) 0.0 else blocks.map(blockUb).max
 
   private var bi = 0               // current block index
   private var docs: Array[Long] = _
@@ -27,7 +40,7 @@ final class Cursor(val termIdx: Int, val idf: Double, val ub: Double,
 
   /** Max score of the CURRENT block (block-max bound). */
   def blockMax: Double =
-    if (bi < blocks.length) blocks(bi).maxScore else 0.0
+    if (bi < blocks.length) blockUb(blocks(bi)) else 0.0
 
   /** Last docId of the current block (skip target for block-max). */
   def blockLast: Long =

@@ -20,7 +20,7 @@ class ResumeSpec extends AnyFunSuite {
     spark.read.parquet(s"$dir/segments")
       .as[SegmentBlock].collect()
       .map(b => s"${b.bucket}|${b.termHash}|${b.skey}|${b.blockId}|" +
-        s"${b.n}|${b.firstDocId}|${b.lastDocId}|${b.maxScore}|" +
+        s"${b.n}|${b.firstDocId}|${b.lastDocId}|${b.maxTf}|${b.minDl}|" +
         s"${b.docIdsEnc.mkString(",")}|${b.tfsEnc.mkString(",")}|" +
         s"${b.dlsEnc.mkString(",")}")
       .sorted.toSeq

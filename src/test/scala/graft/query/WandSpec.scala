@@ -17,16 +17,14 @@ class WandSpec extends AnyFunSuite {
   private def mkBlocks(skey: String, postings: Seq[(Long, Int, Int)],
                        df: Long, n: Long,
                        blockSize: Int): Array[SegmentBlock] = {
-    val idf = BM25.idf(n, df)
     postings.sortBy(_._1).grouped(blockSize).zipWithIndex.map {
       case (chunk, bi) =>
         val ds = chunk.map(_._1).toArray
         val tfs = chunk.map(_._2.toLong).toArray
         val dls = chunk.map(_._3.toLong).toArray
-        val maxS = chunk.map(c =>
-          BM25.score(c._2.toLong, c._3.toLong, avgdl, idf)).max
         SegmentBlock(0, 0L, skey, skey, df, bi, ds.length, ds.head,
-          ds.last, maxS, Codec.encodeDeltas(ds, ds.head),
+          ds.last, chunk.map(_._2).max, chunk.map(_._3).min,
+          Codec.encodeDeltas(ds, ds.head),
           Codec.encodeVarByte(tfs), Codec.encodeVarByte(dls))
     }.toArray
   }
@@ -35,8 +33,7 @@ class WandSpec extends AnyFunSuite {
                        n: Long, lo: Long = 0L,
                        hi: Long = Long.MaxValue): Cursor = {
     val idf = BM25.idf(n, blocks.head.df)
-    new Cursor(termIdx, idf, blocks.map(_.maxScore).max, blocks, avgdl,
-      lo, hi)
+    new Cursor(termIdx, idf, blocks, avgdl, lo, hi)
   }
 
   private def randPostings(rnd: Random, maxDoc: Long,
