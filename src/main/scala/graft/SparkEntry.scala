@@ -131,6 +131,27 @@ object SparkEntry {
           col("event_type"), col("n"), col("sum_v"))
         .orderBy("hr", "event_type")),
     // ---- set ops (§2.6) --------------------------------------------
+    "p7_overlap" -> ((s, d) =>
+      docToks(s, d)
+        .filter(arrays_overlap(col("toks"),
+          array(lit("vector"), lit("stream"))))
+        .select(col("doc_id")).orderBy("doc_id")),
+    "set_intersect" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"))
+        .intersect(t(s, d, "orders").filter(col("o_totalprice") > 100000.0)
+          .select(col("o_custkey").as("key")))
+        .orderBy("key")),
+    "set_except" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"))
+        .except(t(s, d, "orders")
+          .select(col("o_custkey").as("key")))
+        .orderBy("key")),
+    "f6_format" -> ((s, d) =>
+      t(s, d, "nation").select(
+        format_string("N(%d:%s)", col("n_nationkey"), col("n_name"))
+          .as("tag")).orderBy("tag")),
     "set_union" -> ((s, d) =>
       t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("key"))
@@ -286,6 +307,18 @@ object SparkEntry {
       "'%Y-%m-%d %H:%M:%S') AS hr, event_type, count(*) AS n, " +
       "round(sum(value),4) AS sum_v FROM events GROUP BY 1, 2 " +
       "ORDER BY hr, event_type"),
+    "p7_overlap" -> (s"SELECT doc_id FROM (SELECT doc_id, " +
+      s"${OracleSql.toksExpr} AS t FROM documents) WHERE " +
+      "len(list_filter(t, x -> x IN ('vector','stream'))) > 0 " +
+      "ORDER BY doc_id"),
+    "set_intersect" -> ("SELECT c_custkey AS key FROM customer WHERE " +
+      "c_mktsegment = 'BUILDING' INTERSECT SELECT o_custkey AS key " +
+      "FROM orders WHERE o_totalprice > 100000.0 ORDER BY key"),
+    "set_except" -> ("SELECT c_custkey AS key FROM customer WHERE " +
+      "c_mktsegment = 'BUILDING' EXCEPT SELECT o_custkey AS key " +
+      "FROM orders ORDER BY key"),
+    "f6_format" -> ("SELECT printf('N(%d:%s)', n_nationkey, n_name) " +
+      "AS tag FROM nation ORDER BY tag"),
     "set_union" -> ("SELECT c_custkey AS key FROM customer WHERE " +
       "c_mktsegment = 'BUILDING' UNION SELECT o_custkey AS key FROM orders " +
       "WHERE o_totalprice > 100000.0 ORDER BY key"),

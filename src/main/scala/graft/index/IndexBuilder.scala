@@ -142,25 +142,31 @@ object IndexBuilder {
 
       // docs meta: dl from tf (zero-token docs kept via left join —
       // they count toward N and avgdl), url from a tokenize-free,
-      // column-pruned scan of the input.
+      // column-pruned scan of the input. Stats ride along as an
+      // OBSERVATION on the write — no extra scan job (the serial
+      // driver-side jobs between stages were a measured scaling tax).
       val dls = tf.groupBy($"docId").agg(first($"dl").as("dl"))
       val docMeta = docs.select($"docId", $"url")
         .join(dls, Seq("docId"), "left")
         .select($"docId", $"url",
           coalesce($"dl", lit(0)).cast("int").as("dl"))
         .as[DocMeta]
-      docMeta.repartitionByRange(math.max(1, shufP / 2), $"docId")
-        .sortWithinPartitions("docId")
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
-      val written = spark.read.parquet(s"$outDir/docs")
-      // avgdl from an INTEGER token-count sum — exact and independent
-      // of partition/summation order, unlike avg() over doubles (the
-      // rank-identity contract shares it with the scalar oracle).
-      val agg0 = written.agg(
-        count(lit(1)), sum($"dl".cast("long")), max($"docId")).head()
-      val n = agg0.getLong(0)
-      val avgdl = if (n == 0) 0.0 else agg0.getLong(1).toDouble / n
-      val maxDocId = agg0.getLong(2)
+      // Fill the tf cache first (the docs-meta and terms jobs below
+      // run CONCURRENTLY from driver threads and must not both race to
+      // compute it).
+      tf.count()
+      val obsDocs = new org.apache.spark.sql.Observation()
+      val docsJob = scala.concurrent.Future {
+        docMeta.repartitionByRange(math.max(1, shufP / 2), $"docId")
+          .sortWithinPartitions("docId")
+          // avgdl from an INTEGER token-count sum — exact and
+          // independent of partition/summation order, unlike avg()
+          // over doubles (the rank-identity contract shares it with
+          // the scalar oracle).
+          .observe(obsDocs, count(lit(1)).as("n"),
+            sum($"dl".cast("long")).as("toks"), max($"docId").as("maxId"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
+      }(scala.concurrent.ExecutionContext.global)
 
       // Per-term df; hot terms (df > saltTarget) get saltCount > 1.
       val termDf = tf.groupBy($"term")
@@ -173,14 +179,25 @@ object IndexBuilder {
         .withColumn("termHash", xxhash64($"term"))
         .select($"term", $"termHash", $"df", $"cf", $"saltCount")
         .as[TermMeta]
+      val obsTerms = new org.apache.spark.sql.Observation()
       terms.repartitionByRange(math.max(1, shufP / 4), $"termHash")
         .sortWithinPartitions("termHash")
+        .observe(obsTerms, count(lit(1)).as("n"))
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
       val termsRead = spark.read.parquet(s"$outDir/terms")
-      val numTerms = termsRead.count()
+      val numTerms = obsTerms.get("n").asInstanceOf[Long]
+      // join the concurrent docs-meta job; derive global stats
+      scala.concurrent.Await.result(docsJob,
+        scala.concurrent.duration.Duration.Inf)
+      val n = obsDocs.get("n").asInstanceOf[Long]
+      val totalToks =
+        if (n == 0) 0L else obsDocs.get("toks").asInstanceOf[Long]
+      val avgdl = if (n == 0) 0.0 else totalToks.toDouble / n
+      val maxDocId =
+        if (n == 0) -1L else obsDocs.get("maxId").asInstanceOf[Long]
       IndexPaths.writeStats(spark, outDir,
         IndexStats(buildId, n, avgdl, numTerms, cfg.numBuckets,
-          cfg.blockSize, maxDocId, agg0.getLong(1)))
+          cfg.blockSize, maxDocId, totalToks))
       ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
         IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,
         System.currentTimeMillis()))
@@ -207,15 +224,19 @@ object IndexBuilder {
         .select($"bucket", $"termHash", $"skey", $"term", $"df",
           $"docId", $"tf", $"dl")
         .as[StagedPosting]
-      // Range-partition the staging write too: contiguous termHash per
-      // task → each task touches 1-2 bucket dirs, not all of them.
+      // Hash-partition the staging write ON BUCKET: each bucket lands
+      // wholly in one task (1-2 dirs per task, bounded files) with NO
+      // range-sampling pass — the encode stage re-sorts anyway, so a
+      // global order here would be wasted work.
+      val obsStaged = new org.apache.spark.sql.Observation()
       staged
-        .repartitionByRange(shufP, $"termHash", $"skey")
+        .repartition(math.min(shufP, cfg.numBuckets), $"bucket")
+        .observe(obsStaged, count(lit(1)).as("n"))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(s"$outDir/postings_staged")
       tf.unpersist()
-      val nPost = spark.read.parquet(s"$outDir/postings_staged").count()
-      ckpt.commit(Checkpoint(buildId, "postings", 0, "COMPLETE", nPost,
+      ckpt.commit(Checkpoint(buildId, "postings", 0, "COMPLETE",
+        obsStaged.get("n").asInstanceOf[Long],
         IndexPaths.dirBytes(spark, s"$outDir/postings_staged"), lineage,
         t0, System.currentTimeMillis()))
     }
@@ -237,11 +258,11 @@ object IndexBuilder {
           .filter($"bucket" >= lo && $"bucket" < hi)
           .as[StagedPosting]
         val blocks = encodeSegments(staged, statsNow, cfg)
-        blocks.write.mode(SaveMode.Append).partitionBy("bucket")
+        val obsBlocks = new org.apache.spark.sql.Observation()
+        blocks.observe(obsBlocks, count(lit(1)).as("n"))
+          .write.mode(SaveMode.Append).partitionBy("bucket")
           .parquet(s"$outDir/segments")
-        val written = spark.read.parquet(s"$outDir/segments")
-          .filter($"bucket" >= lo && $"bucket" < hi)
-        val nBlocks = written.count()
+        val nBlocks = obsBlocks.get("n").asInstanceOf[Long]
         val bytes = (lo until hi).map(b =>
           IndexPaths.dirBytes(spark, s"$outDir/segments/bucket=$b")).sum
         ckpt.commit(Checkpoint(buildId, "segments", g, "COMPLETE",
