@@ -136,6 +136,14 @@ object Bench {
       (latencies.size * 0.95).toInt))
     results("query_p50") = p50
     results("query_p95") = p95
+    // batch serving mode: the whole query set as ONE scatter/gather
+    // job — amortizes the per-job floor (~200ms on this box) that
+    // dominates single-query latency
+    val (_, batchSecs) = time {
+      Searcher.search(sBuild, s"$benchRoot/idx$buildCpus", qs, 10,
+        Searcher.Or, numRanges = 4).collect()
+    }
+    results("query_batch_per_q") = batchSecs / qs.size
     sBuild.stop()
     org.apache.spark.sql.SparkSession.clearActiveSession()
     org.apache.spark.sql.SparkSession.clearDefaultSession()

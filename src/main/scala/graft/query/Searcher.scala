@@ -199,14 +199,21 @@ object Searcher {
         top.iterator.map { case (d, s) => (qid, d, s) }
       }
 
-    // 5. final merge per query (k·R rows per query — tiny)
-    partials
-      .groupByKey(_._1)
-      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double)]) =>
-        it.toArray.sortBy { case (_, d, s) => (-s, d) }
-          .take(k).iterator.zipWithIndex
+    // 5. final merge per query: k·R rows per query — tiny by
+    // construction, so collect and merge on the driver rather than
+    // paying another shuffle stage (measured ~30% of single-query
+    // latency). This is the reference's serve-path shape too: workers
+    // return partial top-k, the coordinator merges
+    // (/root/reference/packages/api/spheraform_api/routers/search.py:61-64).
+    val merged = partials.collect()
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (qid, rows) =>
+        rows.sortBy { case (_, d, s) => (-s, d) }
+          .take(k).zipWithIndex
           .map { case ((_, d, s), i) => SearchHit(qid, i + 1, d, s) }
       }
+    spark.createDataset(merged)
   }
 
   /** Back-join urls for a (small) hit set — docs table is range-sorted
