@@ -23,6 +23,14 @@ object TextExtractor {
   def extract(html: Array[Byte]): String =
     extractString(new String(html, StandardCharsets.UTF_8))
 
+  /** UTF8String form — the static entry point the codegen'd Catalyst
+    * expression calls (see [[GraftFunctions.extract_text]]): Scala
+    * object methods compile to static forwarders, so StaticInvoke can
+    * bind it directly in generated Java.
+    */
+  def extractUtf8(html: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(extract(html))
+
   def extractString(html: String): String = {
     val sb = new StringBuilder
     var i = 0

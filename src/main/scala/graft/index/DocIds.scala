@@ -42,10 +42,14 @@ object DocIds {
     import spark.implicits._
     val docs =
       if (useExtractor)
-        pages.map(p => (p.url, TextExtractor.extract(p.html)))
+        // native codegen'd expression: scan prunes to (url, html) and
+        // extraction runs inside whole-stage codegen (no UDF)
+        pages.select(col("url"),
+          graft.functions.GraftFunctions.extract_text(col("html"))
+            .as("text"))
       else
-        pages.map(p => (p.url, p.text))
-    assign(docs.toDF("url", "text"), numPartitions, offset)
+        pages.select(col("url"), col("text"))
+    assign(docs, numPartitions, offset)
   }
 
   /** Assign docIds to any (url, text) DataFrame-shaped dataset.
