@@ -55,6 +55,13 @@ object DocIds {
   /** Assign docIds to any (url, text) DataFrame-shaped dataset.
     * `offset` starts numbering above an existing generation's
     * maxDocId (incremental append).
+    *
+    * The rank computation runs on a SKINNY url-only plan — the range
+    * partitioner's sampling pass and the sort shuffle move ~60-byte
+    * rows, never the document payload (at 100 TB, sampling the full
+    * (url, text) corpus would be a second full extraction pass). The
+    * payload joins back by url afterwards (one hash shuffle of the
+    * text, which any layout change costs anyway).
     */
   def assign(docs: Dataset[org.apache.spark.sql.Row],
              numPartitions: Int = 0, offset: Long = 0L): Dataset[Doc] = {
@@ -62,30 +69,32 @@ object DocIds {
     import spark.implicits._
     val p = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
-    // ONE shuffle + ONE cache: everything derives from the cached
-    // sorted corpus (DataFrame actions re-plan Exchanges, so without
-    // the cache each downstream traversal would re-shuffle).
-    val sorted = docs
-      .select(col("url").cast("string"), col("text").cast("string"))
+    val urlsSorted = docs.select(col("url").cast("string"))
       .repartitionByRange(p, col("url"))
       .sortWithinPartitions("url")
-      .as[(String, String)]
+      .as[String]
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Pass 1: per-partition counts -> prefix sum (P longs on driver).
-    val counts = sorted
+    val counts = urlsSorted
       .mapPartitions(it => Iterator.single(it.size))(Encoders.scalaInt)
       .collect()
     val offsets = counts.scanLeft(offset)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
-    // Pass 2 (lazy, cheap map over the cache): local rank + offset.
-    sorted.mapPartitions { it =>
+    val ids = urlsSorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var rank = bc.value(pid)
-      it.map { case (url, text) =>
-        val d = Doc(rank, url, text)
-        rank += 1
-        d
-      }
-    }
+      it.map { url => val r = (url, rank); rank += 1; r }
+    }.toDF("url", "docId")
+    // join the payload back; cache the result — callers traverse the
+    // corpus more than once (tf pass, docs-meta pass)
+    val assigned = docs
+      .select(col("url").cast("string"), col("text").cast("string"))
+      .join(ids, "url")
+      .select(col("docId"), col("url"), col("text"))
+      .as[Doc]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // urlsSorted stays cached (skinny) until assigned materializes —
+    // unpersisting early would force a deterministic-but-wasteful
+    // recompute of the rank shuffle inside the join.
+    assigned
   }
 }
