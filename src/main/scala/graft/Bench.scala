@@ -181,11 +181,20 @@ object Bench {
       // The host's OWN 4x-thread ratio swings 0.6-1.2 between time
       // windows, so only ratios of ADJACENT runs mean anything: each
       // rep measures N then 4N back-to-back and yields one efficiency;
-      // the best rep (least host interference) is reported.
-      val perRep = (0 until reps).map { i =>
-        val rN = run(nCpu, s"N$i")
-        val r4N = run(n4Cpu, s"4N$i")
-        (rN, r4N, (r4N._1 / rN._1) / 4.0)
+      // the best rep (least host interference) is reported. A wall
+      // budget bounds total bench time (an unfinished bench emits no
+      // JSON at all): always >= 1 rep, stop early past the budget.
+      val benchStart = System.nanoTime()
+      val budgetSecs =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "240").toInt
+      val perRep = (0 until reps).flatMap { i =>
+        val elapsed = (System.nanoTime() - benchStart) / 1e9
+        if (i > 0 && elapsed > budgetSecs) None
+        else {
+          val rN = run(nCpu, s"N$i")
+          val r4N = run(n4Cpu, s"4N$i")
+          Some((rN, r4N, (r4N._1 / rN._1) / 4.0))
+        }
       }
       val ctlN = math.max(ctlNa, cpuControl(nCpu))
       val ctl4N = math.max(ctl4Na, cpuControl(n4Cpu))
