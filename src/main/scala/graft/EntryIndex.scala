@@ -17,7 +17,7 @@ object EntryIndex {
   private def indexDirFor(dir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    s"/tmp/graft_entry_index/v2_$h" // v2: (maxTf, minDl) block format
+    s"/tmp/graft_entry_index/v3_$h" // v3: TermMeta carries maxTf/minDl
   }
 
   def ensure(spark: SparkSession, dir: String): String = synchronized {

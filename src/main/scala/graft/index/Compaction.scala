@@ -37,29 +37,32 @@ object Compaction {
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
     val written = spark.read.parquet(s"$outDir/docs")
     val agg0 = written.agg(count(lit(1)), sum($"dl".cast("long")),
-      max($"docId")).head()
+      max($"docId"), max($"dl".cast("long"))).head()
     val n = agg0.getLong(0)
     val totalTokens = agg0.getLong(1)
     val avgdl = if (n == 0) 0.0 else totalTokens.toDouble / n
+    val maxDl = if (n == 0) 0L else agg0.getLong(3)
 
     // 2. terms: re-sum df/cf across generations; re-salt under the
     //    merged df
     val termsAll = gens.map(d => spark.read.parquet(s"$d/terms"))
       .reduce(_ unionByName _)
       .groupBy($"term", $"termHash")
-      .agg(sum($"df").as("df"), sum($"cf").as("cf"))
+      .agg(sum($"df").as("df"), sum($"cf").as("cf"),
+        max($"maxTf").as("maxTf"), min($"minDl").as("minDl"))
       .withColumn("saltCount",
         when($"df" > cfg.saltTarget,
           ceil($"df".cast("double") / cfg.saltTarget).cast("int"))
           .otherwise(lit(1)))
-      .select($"term", $"termHash", $"df", $"cf", $"saltCount")
+      .select($"term", $"termHash", $"df", $"cf", $"saltCount",
+        $"maxTf", $"minDl")
     termsAll.repartitionByRange(math.max(1, shufP / 4), $"termHash")
       .sortWithinPartitions("termHash")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
     val termsRead = spark.read.parquet(s"$outDir/terms")
     val numTerms = termsRead.count()
     val stats = IndexStats(buildId, n, avgdl, numTerms, cfg.numBuckets,
-      cfg.blockSize, agg0.getLong(2), totalTokens)
+      cfg.blockSize, agg0.getLong(2), totalTokens, maxDl)
     IndexPaths.writeStats(spark, outDir, stats)
     ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
       IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,

@@ -164,20 +164,26 @@ object IndexBuilder {
           // over doubles (the rank-identity contract shares it with
           // the scalar oracle).
           .observe(obsDocs, count(lit(1)).as("n"),
-            sum($"dl".cast("long")).as("toks"), max($"docId").as("maxId"))
+            sum($"dl".cast("long")).as("toks"), max($"docId").as("maxId"),
+            max($"dl".cast("long")).as("maxDl"))
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
       }(scala.concurrent.ExecutionContext.global)
 
-      // Per-term df; hot terms (df > saltTarget) get saltCount > 1.
+      // Per-term df; hot terms (df > saltTarget) get saltCount > 1;
+      // (maxTf, minDl) = the term's best-contribution bound ingredients
+      // for driver-side MaxScore pruning.
       val termDf = tf.groupBy($"term")
-        .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("cf"))
+        .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("cf"),
+          max($"tf").cast("int").as("maxTf"),
+          min($"dl").cast("int").as("minDl"))
         .withColumn("saltCount",
           when($"df" > cfg.saltTarget,
             ceil($"df".cast("double") / cfg.saltTarget).cast("int"))
             .otherwise(lit(1)))
       val terms = termDf
         .withColumn("termHash", xxhash64($"term"))
-        .select($"term", $"termHash", $"df", $"cf", $"saltCount")
+        .select($"term", $"termHash", $"df", $"cf", $"saltCount",
+          $"maxTf", $"minDl")
         .as[TermMeta]
       val obsTerms = new org.apache.spark.sql.Observation()
       terms.repartitionByRange(math.max(1, shufP / 4), $"termHash")
@@ -195,9 +201,11 @@ object IndexBuilder {
       val avgdl = if (n == 0) 0.0 else totalToks.toDouble / n
       val maxDocId =
         if (n == 0) -1L else obsDocs.get("maxId").asInstanceOf[Long]
+      val maxDl =
+        if (n == 0) 0L else obsDocs.get("maxDl").asInstanceOf[Long]
       IndexPaths.writeStats(spark, outDir,
         IndexStats(buildId, n, avgdl, numTerms, cfg.numBuckets,
-          cfg.blockSize, maxDocId, totalToks))
+          cfg.blockSize, maxDocId, totalToks, maxDl))
       ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
         IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,
         System.currentTimeMillis()))

@@ -4,9 +4,11 @@ package graft.index
   * built-in, seed 42); `saltCount` > 1 marks a hot term whose postings
   * are split into `saltCount` sub-runs stored under salted keys
   * `term#0 .. term#saltCount-1` (north-rule stopword-skew defusal).
+  * `maxTf`/`minDl` bound the term's best possible BM25 contribution
+  * under any current stats (MaxScore pruning at the driver).
   */
 case class TermMeta(term: String, termHash: Long, df: Long, cf: Long,
-                    saltCount: Int)
+                    saltCount: Int, maxTf: Int, minDl: Int)
 
 /** Document metadata for back-joins and length normalization. */
 case class DocMeta(docId: Long, url: String, dl: Int)
@@ -42,11 +44,14 @@ case class SegmentBlock(bucket: Int, termHash: Long, skey: String,
 
 /** Global index statistics (the `stats.json` sidecar). `totalTokens`
   * makes stats exactly combinable across index generations:
-  * avgdl(a ∪ b) = (tokens_a + tokens_b) / (docs_a + docs_b).
+  * avgdl(a ∪ b) = (tokens_a + tokens_b) / (docs_a + docs_b). `maxDl`
+  * lower-bounds any posting's score (tf=1, dl=maxDl) — the free θ₀
+  * seed for MaxScore pruning.
   */
 case class IndexStats(buildId: String, numDocs: Long, avgdl: Double,
                       numTerms: Long, numBuckets: Int, blockSize: Int,
-                      maxDocId: Long, totalTokens: Long)
+                      maxDocId: Long, totalTokens: Long,
+                      maxDl: Long = 0L)
 
 /** Per-unit build checkpoint with lineage + metrics — the direct
   * descendant of the reference's resumable DownloadChunk

@@ -93,7 +93,8 @@ object Searcher {
       val metas = metaPerIndex.flatMap(_.get(term))
       if (metas.isEmpty) None
       else Some(term -> metas.head.copy(df = metas.map(_.df).sum,
-        cf = metas.map(_.cf).sum))
+        cf = metas.map(_.cf).sum, maxTf = metas.map(_.maxTf).max,
+        minDl = metas.map(_.minDl).min))
     }.toMap
 
     val plans: Seq[Plan] = queries.flatMap { q =>
@@ -109,26 +110,62 @@ object Searcher {
     }
     if (plans.isEmpty) return spark.emptyDataset[SearchHit]
 
-    // 2. storage keys (term or salted sub-runs) → touched buckets and
-    //    hashes, PER index generation (salt layout is per-index; idf
-    //    is global). The skey→(query, termIdx, idf) map merges across
-    //    generations — identical values for identical keys.
-    val keyUses: Map[String, Seq[(Long, Int, Double)]] = plans
+    // 2a. MaxScore pruning bounds (driver, from dictionary metadata
+    //     alone — no posting read):
+    //     UB_t    = best possible contribution of term t (maxTf, minDl
+    //               under CURRENT stats),
+    //     θ₀(q)   = a SAFE lower bound on the final k-th score: any
+    //               term with df ≥ k guarantees k docs each scoring at
+    //               least its worst single-posting score (tf=1,
+    //               dl = corpus maxDl). OR mode only — AND result
+    //               counts are unknown a priori.
+    //     residual(q,t) = θ₀(q) − Σ_{t'≠t} UB_{t'} — a block of t can
+    //               put a doc into the top-k only if its own bound
+    //               reaches this; everything below never leaves the
+    //               scan (the stopword-scatter defusal of SCALE.md).
+    val ubByTerm: Map[String, Double] = metaByTerm.map { case (term, t) =>
+      term -> BM25.score(t.maxTf.toLong, t.minDl.toLong, stats.avgdl,
+        BM25.idf(stats.numDocs, t.df))
+    }
+    val theta0: Map[Long, Double] = plans.map { p =>
+      val t0 =
+        if (mode != Or || stats.maxDl <= 0) Double.NegativeInfinity
+        else {
+          val cands = p.terms.filter(_.df >= k).map(t =>
+            BM25.score(1L, stats.maxDl, stats.avgdl,
+              BM25.idf(stats.numDocs, t.df)))
+          if (cands.isEmpty) Double.NegativeInfinity
+          // nextDown: ties at exactly θ₀ must survive (exactness)
+          else Math.nextDown(cands.max)
+        }
+      p.queryId -> t0
+    }.toMap
+
+    // 2b. storage keys (term or salted sub-runs) → touched buckets and
+    //     hashes, PER index generation (salt layout is per-index; idf
+    //     is global). The skey→(query, termIdx, idf, residual) map
+    //     merges across generations — identical values for identical
+    //     keys.
+    val keyUses: Map[String, Seq[(Long, Int, Double, Double)]] = plans
       .flatMap { p =>
+        val ubSum = p.terms.map(t => ubByTerm(t.term)).sum
         p.terms.flatMap { t =>
           val idf = BM25.idf(stats.numDocs, t.df)
+          val residual = theta0(p.queryId) - (ubSum - ubByTerm(t.term))
           metaPerIndex.flatMap(_.get(t.term)).flatMap { tm =>
             val keys =
               if (tm.saltCount > 1)
                 (0 until tm.saltCount).map(s =>
                   IndexBuilder.saltKey(t.term, s))
               else Seq(t.term)
-            keys.map(k => k -> ((p.queryId, p.termIdx(t.term), idf)))
+            keys.map(k =>
+              k -> ((p.queryId, p.termIdx(t.term), idf, residual)))
           }
         }
       }
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
     val bcUses = spark.sparkContext.broadcast(keyUses)
+    val bcTheta0 = spark.sparkContext.broadcast(theta0)
     val maxDoc = stats.maxDocId + 1
     val ranges = math.max(1, numRanges)
     def rangeOf(docId: Long): Int =
@@ -162,8 +199,13 @@ object Searcher {
 
     val scattered = blocks.flatMap { b =>
       bcUses.value.getOrElse(b.skey, Seq.empty).iterator.flatMap {
-        case (qid, tIdx, idf) =>
-          (rangeOf(b.firstDocId) to rangeOf(b.lastDocId)).iterator
+        case (qid, tIdx, idf, residual) =>
+          // MaxScore gate BEFORE the shuffle: the block's exact bound
+          // under current stats vs this (query, term)'s residual
+          val bound = BM25.score(b.maxTf.toLong, b.minDl.toLong,
+            avgdl, idf)
+          if (bound < residual) Iterator.empty
+          else (rangeOf(b.firstDocId) to rangeOf(b.lastDocId)).iterator
             .map(r => (qid, r, tIdx, idf, b))
       }
     }
@@ -184,6 +226,7 @@ object Searcher {
           val bs = rows.map(_._5).sortBy(_.firstDocId).toArray
           new Cursor(tIdx, idf, bs, avgdl, lo, hi)
         }.toArray
+        val floor = bcTheta0.value.getOrElse(qid, Double.NegativeInfinity)
         val top =
           if (isAnd) {
             val order = bcDfOrder.value(qid)
@@ -194,8 +237,8 @@ object Searcher {
             val groups = order.map(tI => cursors.filter(_.termIdx == tI))
               .toArray
             if (groups.exists(_.isEmpty)) Array.empty[(Long, Double)]
-            else Wand.intersectAnd(groups.map(_.map(identity)), k)
-          } else Wand.wandOr(cursors, k)
+            else Wand.intersectAnd(groups, k)
+          } else Wand.wandOr(cursors, k, floor)
         top.iterator.map { case (d, s) => (qid, d, s) }
       }
 

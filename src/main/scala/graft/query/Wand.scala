@@ -195,8 +195,15 @@ object Wand {
 
   /** Block-max WAND (Broder et al. WAND + Ding/Suel block-max skips).
     * Exact: returns the same top-k as [[exhaustiveOr]].
+    *
+    * `floor` seeds the threshold with a global lower bound on the
+    * k-th score (MaxScore θ₀): a candidate below the floor cannot be
+    * in the GLOBAL top-k, so partial top-k tasks may skip it even
+    * while their own heap is not yet full. Pass NegativeInfinity for
+    * the unseeded classic behavior.
     */
-  def wandOr(cursors0: Array[Cursor], k: Int): Array[(Long, Double)] = {
+  def wandOr(cursors0: Array[Cursor], k: Int,
+             floor: Double = Double.NegativeInfinity): Array[(Long, Double)] = {
     val heap = new TopK(k)
     var cursors = cursors0.filterNot(_.exhausted)
     val matchedBuf = new Array[Cursor](cursors0.length)
@@ -205,13 +212,13 @@ object Wand {
       java.util.Arrays.sort(cursors,
         Ordering.by((c: Cursor) => c.curDoc))
       // find pivot: first prefix whose UB sum exceeds θ
-      val theta = heap.threshold
+      val theta = math.max(heap.threshold, floor)
       var acc = 0.0
       var p = -1
       var i = 0
       while (p < 0 && i < cursors.length) {
         acc += cursors(i).ub
-        if (acc > theta || (heap.size < k)) p = i
+        if (acc > theta) p = i
         i += 1
       }
       if (p < 0) return heap.result() // no prefix can beat θ
@@ -234,7 +241,7 @@ object Wand {
           if (c.blockLast < minBlockLast) minBlockLast = c.blockLast
           j += 1
         }
-        if (bmSum > theta || heap.size < k) {
+        if (bmSum > theta) {
           // full evaluation at pivotDoc
           var n = 0
           var j2 = 0

@@ -65,6 +65,28 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("wandOr with the TIGHTEST valid floor (exact kth score) is exact") {
+    val rnd = new Random(777)
+    val n = 10000L
+    (0 until 40).foreach { trial =>
+      val numTerms = 1 + rnd.nextInt(4)
+      val k = 1 + rnd.nextInt(10)
+      val sets = (0 until numTerms).map { t =>
+        val ps = randPostings(rnd, 1500L, 1 + rnd.nextInt(250))
+        (mkBlocks(s"t$t", ps, ps.size.toLong, n, 1 + rnd.nextInt(12)), t)
+      }
+      def cursors() = sets.map { case (bs, t) => mkCursor(t, bs, n) }.toArray
+      val want = Wand.exhaustiveOr(cursors(), k)
+      if (want.nonEmpty) {
+        // the hardest floor that is still a valid lower bound on the
+        // kth score — Searcher's θ₀ is always looser than this
+        val floor = Math.nextDown(want.last._2)
+        val got = Wand.wandOr(cursors(), k, floor)
+        assert(got.toSeq == want.toSeq, s"trial $trial floored mismatch")
+      }
+    }
+  }
+
   test("wandOr respects docId window [lo, hi)") {
     val rnd = new Random(99)
     val n = 5000L
