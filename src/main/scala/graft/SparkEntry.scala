@@ -244,6 +244,54 @@ object SparkEntry {
     "sim_lsh_ann" -> ((s, d) =>
       Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         1L, 20, numPlanes = 6)),
+    // ---- additional relational surface ------------------------------
+    "ft_phrase" -> ((s, d) =>
+      // phrase search = AND candidates + exact token-adjacency verify;
+      // at web scale the AND intersection (engine) shrinks the verify
+      // set to top candidates first — here the verify predicate alone
+      // is exact and oracle-checkable
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit(" "),
+            array_join(Tokenize.tokensCol(col("text")), " "),
+            lit(" ")).as("norm"))
+        .filter(col("norm").contains(" data join "))
+        .select(col("doc_id")).orderBy("doc_id")),
+    "agg_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")),
+    "w5_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").filter(col("user_id") < 10)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .select(col("user_id"), col("event_id"),
+          round(col("value") - coalesce(col("prev_value"), lit(0.0)), 4)
+            .as("delta_r"))
+        .orderBy("user_id", "event_id")
+    }),
+    "a_pivot_cond" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .agg(count(when(col("event_type") === "click", 1)).as("clicks"),
+          count(when(col("event_type") === "view", 1)).as("views"),
+          count(when(col("event_type") === "purchase", 1)).as("purchases"))
+        .orderBy("bucket")),
+    "dedup_embedding" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(graft.pipeline.Similarity.cosine(
+            col("a.embedding"), col("b.embedding")), 4).as("cos_r"))
+        .filter(col("cos_r") >= 0.45)
+        .orderBy("id_a", "id_b")
+    }),
     // ---- streaming (§2.8) ------------------------------------------
     "st_stream_agg" -> ((s, d) => Streaming.streamAgg(s, d)),
     // ---- multimodal plumbing (binary column; rows-only) ------------
@@ -364,6 +412,27 @@ object SparkEntry {
     "dedup_minhash_lsh" -> OracleSql.minhashLsh(16, 4, 0.2),
     "sim_cosine_topk" -> OracleSql.cosineTopK(0L, 20),
     "sim_knn_join" -> OracleSql.knnJoin(10, 3),
+    "ft_phrase" -> (s"SELECT doc_id FROM (SELECT doc_id, ' ' || " +
+      s"array_to_string(${OracleSql.toksExpr}, ' ') || ' ' AS norm " +
+      "FROM documents) WHERE norm LIKE '% data join %' ORDER BY doc_id"),
+    "agg_rollup" -> ("SELECT coalesce(l_returnflag,'ALL') AS rf, " +
+      "coalesce(l_linestatus,'ALL') AS ls, count(*) AS n, " +
+      "round(sum(l_quantity),2) AS sum_qty FROM lineitem " +
+      "GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"),
+    "w5_lag" -> ("SELECT user_id, event_id, round(value - " +
+      "coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, " +
+      "event_id), 0.0), 4) AS delta_r FROM events WHERE user_id < 10 " +
+      "ORDER BY user_id, event_id"),
+    "a_pivot_cond" -> ("SELECT user_id % 10 AS bucket, " +
+      "count(*) FILTER (event_type = 'click') AS clicks, " +
+      "count(*) FILTER (event_type = 'view') AS views, " +
+      "count(*) FILTER (event_type = 'purchase') AS purchases " +
+      "FROM events GROUP BY bucket ORDER BY bucket"),
+    "dedup_embedding" -> ("SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_r " +
+      "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+      "WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) " +
+      ">= 0.45 ORDER BY id_a, id_b"),
     "st_stream_agg" -> ("SELECT event_type, count(*) AS n, " +
       "CAST(sum(user_id) AS BIGINT) AS sum_users FROM events " +
       "GROUP BY event_type ORDER BY event_type")
