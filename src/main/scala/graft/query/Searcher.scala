@@ -42,6 +42,26 @@ object Searcher {
   case object Or extends Mode  // disjunctive BM25 top-k (default)
   case object And extends Mode // conjunctive: doc must match all terms
 
+  /** Per-index driver-side dictionary cache: term → Some(meta) or
+    * None (negative entry). A serving deployment keeps this hot; at
+    * web scale it holds only QUERIED terms, never the dictionary.
+    * Bounded defensively; an index rebuild under the same path must
+    * call [[invalidateTermCache]].
+    */
+  private val termCaches =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentHashMap[String, Option[TermMeta]]]()
+
+  private def termCacheFor(dir: String) = {
+    val c = termCaches.computeIfAbsent(dir,
+      _ => new java.util.concurrent.ConcurrentHashMap[String,
+        Option[TermMeta]]())
+    if (c.size > 200000) c.clear() // crude bound; cache is advisory
+    c
+  }
+
+  def invalidateTermCache(dir: String): Unit = termCaches.remove(dir)
+
   /** Driver-side query plan for one query. */
   private case class Plan(queryId: Long, terms: Seq[TermMeta],
                           termIdx: Map[String, Int])
@@ -81,13 +101,25 @@ object Searcher {
     val allTerms = qTerms.values.flatten.toSeq.distinct
     if (allTerms.isEmpty) return spark.emptyDataset[SearchHit]
     val hashes = allTerms.map(IndexBuilder.xxhash)
-    // per index generation: term -> meta (salt layout is per-index)
+    // per index generation: term -> meta (salt layout is per-index).
+    // A driver-side cache skips the dictionary job for already-seen
+    // terms (stopwords repeat constantly across queries); misses are
+    // fetched in one pruned scan and negative results are cached too.
     val metaPerIndex: Seq[Map[String, TermMeta]] = indexDirs.map { d =>
-      spark.read.parquet(s"$d/terms")
-        .filter($"termHash".isin(hashes: _*))
-        .as[TermMeta].collect()
-        .filter(t => allTerms.contains(t.term))
-        .map(t => t.term -> t).toMap
+      val cache = Searcher.termCacheFor(d)
+      val missing = allTerms.filterNot(cache.containsKey)
+      if (missing.nonEmpty) {
+        val missingHashes = missing.map(IndexBuilder.xxhash)
+        val fetched = spark.read.parquet(s"$d/terms")
+          .filter($"termHash".isin(missingHashes: _*))
+          .as[TermMeta].collect()
+          .filter(t => missing.contains(t.term))
+          .map(t => t.term -> t).toMap
+        missing.foreach(t =>
+          cache.put(t, fetched.get(t))) // negative-cache absent terms
+      }
+      allTerms.flatMap(t =>
+        Option(cache.get(t)).flatten.map(t -> _)).toMap
     }
     val metaByTerm: Map[String, TermMeta] = allTerms.flatMap { term =>
       val metas = metaPerIndex.flatMap(_.get(term))
