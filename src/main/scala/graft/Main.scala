@@ -21,6 +21,28 @@ import graft.query.{QuerySpec, Searcher}
   */
 object Main {
 
+  /** Input-source resolution (the DocSource seam of SURVEY §2.9):
+    *  - `gen:N`          deterministic synthetic pages (tests/bench)
+    *  - `iceberg:<tbl>`  Iceberg table of (url, warc_ts, html, text,
+    *                     lang) — the north-rule production source;
+    *                     resolves at runtime when the Iceberg runtime
+    *                     jar is on the cluster (not shipped in this
+    *                     zero-egress sandbox). Snapshot pinning /
+    *                     incremental reads via the usual Iceberg read
+    *                     options replace the warc_ts watermark.
+    *  - anything else    parquet path(s)
+    */
+  def readPages(spark: SparkSession,
+                src: String): org.apache.spark.sql.Dataset[graft.data.PageRow] = {
+    import spark.implicits._
+    if (src.startsWith("gen:"))
+      PagesGen.pages(spark, src.stripPrefix("gen:").toLong)
+    else if (src.startsWith("iceberg:"))
+      spark.read.format("iceberg").load(src.stripPrefix("iceberg:"))
+        .as[graft.data.PageRow]
+    else spark.read.parquet(src).as[graft.data.PageRow]
+  }
+
   def session(): SparkSession = {
     val b = SparkSession.builder().appName("graft")
       .config("spark.sql.adaptive.enabled", "true")
@@ -51,13 +73,7 @@ object Main {
         val indexDir = args(2)
         val numBuckets = if (args.length > 3) args(3).toInt else 32
         val saltTarget = if (args.length > 4) args(4).toLong else 250000L
-        val pages =
-          if (src.startsWith("gen:"))
-            PagesGen.pages(spark, src.stripPrefix("gen:").toLong)
-          else {
-            import spark.implicits._
-            spark.read.parquet(src).as[graft.data.PageRow]
-          }
+        val pages = readPages(spark, src)
         val docs = DocIds.fromPages(pages,
           spark.sessionState.conf.numShufflePartitions,
           useExtractor = true)
@@ -96,11 +112,7 @@ object Main {
         val src = args(1)
         val baseDirs = args(2).split(",").toSeq
         val deltaDir = args(3)
-        import spark.implicits._
-        val pages =
-          if (src.startsWith("gen:"))
-            PagesGen.pages(spark, src.stripPrefix("gen:").toLong)
-          else spark.read.parquet(src).as[graft.data.PageRow]
+        val pages = readPages(spark, src)
         val wm = baseDirs.flatMap(d =>
           graft.index.Incremental.readWatermark(spark, d))
           .sortBy(_.getTime).lastOption
