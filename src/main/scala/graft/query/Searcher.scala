@@ -78,9 +78,18 @@ object Searcher {
     * those CURRENT stats — so results are rank-identical to a full
     * rebuild over the union corpus (modulo docId numbering).
     */
+  /** @param probeMinTotalDf queries whose summed df exceeds this run a
+    *        θ₀ PROBE first: one batched job scores only each query's
+    *        rarest term (single-term contributions lower-bound totals,
+    *        so the k-th best is a safe, much tighter θ₀). Cheap
+    *        queries skip the extra job; stopword-heavy ones — the
+    *        scatter-volume hazard — pay ~one small scan to prune the
+    *        big one.
+    */
   def searchMulti(spark: SparkSession, indexDirs: Seq[String],
                   queries: Seq[QuerySpec], k: Int = 10, mode: Mode = Or,
-                  numRanges: Int = 8): Dataset[SearchHit] = {
+                  numRanges: Int = 8,
+                  probeMinTotalDf: Long = 100000L): Dataset[SearchHit] = {
     import spark.implicits._
     val statsList = indexDirs.map(d => IndexPaths.readStats(spark, d))
     val nTotal = statsList.map(_.numDocs).sum
@@ -142,8 +151,7 @@ object Searcher {
     }
     if (plans.isEmpty) return spark.emptyDataset[SearchHit]
 
-    // 2a. MaxScore pruning bounds (driver, from dictionary metadata
-    //     alone — no posting read):
+    // 2a. MaxScore bounds (driver, from dictionary metadata alone):
     //     UB_t    = best possible contribution of term t (maxTf, minDl
     //               under CURRENT stats),
     //     θ₀(q)   = a SAFE lower bound on the final k-th score: any
@@ -151,15 +159,18 @@ object Searcher {
     //               least its worst single-posting score (tf=1,
     //               dl = corpus maxDl). OR mode only — AND result
     //               counts are unknown a priori.
-    //     residual(q,t) = θ₀(q) − Σ_{t'≠t} UB_{t'} — a block of t can
-    //               put a doc into the top-k only if its own bound
-    //               reaches this; everything below never leaves the
-    //               scan (the stopword-scatter defusal of SCALE.md).
+    //     θ₀'s real effect is seeding each gather task's WAND floor:
+    //     a docId-range whose range-local bounds can't reach θ₀ is
+    //     skipped without decoding anything (SCALE.md).
+    //     residual(q,t) = θ₀(q) − Σ_{t'≠t} UB_{t'} additionally gates
+    //     blocks BEFORE the scatter shuffle; with this free θ₀ the
+    //     gate is provably inert (θ₀ ≤ UB of its justifying term) —
+    //     it is the plug-in point for a tighter probed θ₀.
     val ubByTerm: Map[String, Double] = metaByTerm.map { case (term, t) =>
       term -> BM25.score(t.maxTf.toLong, t.minDl.toLong, stats.avgdl,
         BM25.idf(stats.numDocs, t.df))
     }
-    val theta0: Map[Long, Double] = plans.map { p =>
+    val theta0Free: Map[Long, Double] = plans.map { p =>
       val t0 =
         if (mode != Or || stats.maxDl <= 0) Double.NegativeInfinity
         else {
@@ -172,6 +183,72 @@ object Searcher {
         }
       p.queryId -> t0
     }.toMap
+
+    // θ₀ probe: score ONLY the rarest term of the expensive queries
+    // (one batched job over its blocks); k-th best single-term
+    // contribution is a safe lower bound on the k-th total score and
+    // is tight enough to make the pre-shuffle residual gate fire.
+    val probed: Map[Long, Double] = {
+      val probePlans = plans.filter { p =>
+        mode == Or && p.terms.size >= 2 && p.terms.head.df >= k &&
+          // don't probe when even the rarest term is itself huge —
+          // the probe scan would rival the query
+          p.terms.head.df <= math.max(10L * probeMinTotalDf, 1000000L) &&
+          p.terms.map(_.df).sum >= probeMinTotalDf
+      }
+      if (probePlans.isEmpty) Map.empty
+      else {
+        val avgdlP = stats.avgdl
+        // rarest term per query → its storage keys per generation
+        val probeUses: Map[String, Seq[(Long, Double)]] = probePlans
+          .flatMap { p =>
+            val t = p.terms.head // sorted by df asc
+            val idf = BM25.idf(stats.numDocs, t.df)
+            metaPerIndex.flatMap(_.get(t.term)).flatMap { tm =>
+              val keys =
+                if (tm.saltCount > 1)
+                  (0 until tm.saltCount).map(s =>
+                    IndexBuilder.saltKey(t.term, s))
+                else Seq(t.term)
+              keys.map(kk => kk -> ((p.queryId, idf)))
+            }
+          }
+          .groupBy(_._1).map { case (kk, v) => kk -> v.map(_._2).distinct }
+        val bcProbe = spark.sparkContext.broadcast(probeUses)
+        val pBlocks = indexDirs.zip(statsList).map { case (d, st) =>
+          val hs = probeUses.keys.map(IndexBuilder.xxhash).toSeq
+          val bks = hs.map(h => IndexBuilder.bucketOf(h, st.numBuckets))
+            .distinct
+          spark.read.parquet(s"$d/segments")
+            .filter($"bucket".isin(bks: _*) && $"termHash".isin(hs: _*))
+            .as[SegmentBlock]
+        }.reduce(_ union _)
+        val kLocal = k
+        pBlocks.flatMap { b =>
+          bcProbe.value.getOrElse(b.skey, Seq.empty).iterator.flatMap {
+            case (qid, idf) =>
+              val tfs = graft.index.Codec.decodeVarByte(b.tfsEnc, b.n)
+              val dls = graft.index.Codec.decodeVarByte(b.dlsEnc, b.n)
+              (0 until b.n).iterator.map(i =>
+                (qid, BM25.score(tfs(i), dls(i), avgdlP, idf)))
+          }
+        }
+          .groupByKey(_._1)
+          .mapGroups { (qid: Long, it: Iterator[(Long, Double)]) =>
+            val h = new TopK(kLocal)
+            it.foreach(x => h.offer(x._2, 0L))
+            (qid, if (h.size >= kLocal) h.result().last._2
+                  else Double.NegativeInfinity)
+          }
+          .collect()
+          .map { case (q, s) =>
+            q -> (if (s == Double.NegativeInfinity) s else Math.nextDown(s))
+          }.toMap
+      }
+    }
+    val theta0: Map[Long, Double] = theta0Free.map { case (q, v) =>
+      q -> math.max(v, probed.getOrElse(q, Double.NegativeInfinity))
+    }
 
     // 2b. storage keys (term or salted sub-runs) → touched buckets and
     //     hashes, PER index generation (salt layout is per-index; idf

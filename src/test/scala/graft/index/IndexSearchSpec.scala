@@ -72,6 +72,19 @@ class IndexSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("probed theta0 (forced on) stays rank-identical vs oracle") {
+    val queries = QuerySet.queries()
+    val hits = Searcher.searchMulti(spark, Seq(indexDir), queries,
+      k = 10, Searcher.Or, numRanges = 4, probeMinTotalDf = 0L)
+      .collect().groupBy(_.queryId)
+    queries.foreach { q =>
+      val want = ScalarOracle.topK(oracleCorpus, q.text, 10)
+      val got = hits.getOrElse(q.queryId, Array.empty)
+        .sortBy(_.rank).map(h => (h.docId, h.score)).toSeq
+      assert(got == want, s"probed query ${q.queryId} '${q.text}'")
+    }
+  }
+
   test("numRanges does not change results (range-scatter exactness)") {
     val queries = QuerySet.queries().take(12)
     val a = Searcher.search(spark, indexDir, queries, 10,
