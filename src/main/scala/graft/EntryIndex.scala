@@ -14,14 +14,25 @@ import graft.query.{QuerySpec, Searcher}
   */
 object EntryIndex {
 
-  private def indexDirFor(dir: String): String = {
+  /** Cache key = path + a CONTENT fingerprint (name/length/mtime of
+    * every file under documents.parquet) — a changed table must never
+    * silently reuse a stale index.
+    */
+  private def indexDirFor(spark: SparkSession, dir: String): String = {
+    val src = s"$dir/documents.parquet"
+    val sig =
+      if (!IndexPaths.exists(spark, src)) "missing"
+      else IndexPaths.fs(spark, src)
+        .listStatus(new org.apache.hadoop.fs.Path(src))
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString(",")
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    s"/tmp/graft_entry_index/v3_$h" // v3: TermMeta carries maxTf/minDl
+      .digest(s"$dir|$sig".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    s"/tmp/graft_entry_index/v4_$h" // v4: positional postings
   }
 
   def ensure(spark: SparkSession, dir: String): String = synchronized {
-    val idx = indexDirFor(dir)
+    val idx = indexDirFor(spark, dir)
     if (!IndexPaths.exists(spark, s"$idx/stats.json") ||
         new index.CheckpointStore(spark, idx).list()
           .count(_.stage == "segments") < 2) {

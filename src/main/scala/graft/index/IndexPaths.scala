@@ -124,7 +124,14 @@ class CheckpointStore(spark: SparkSession, dir: String) {
     val tmp = path(c.stage, c.unit) + ".tmp"
     IndexPaths.writeString(spark, tmp, json)
     val f = IndexPaths.fs(spark, root)
-    f.rename(new Path(tmp), new Path(path(c.stage, c.unit)))
+    val dst = new Path(path(c.stage, c.unit))
+    // Hadoop rename fails (returns false) when the destination exists —
+    // a recommit (rebuild into an existing dir) must replace, not
+    // silently keep stale checkpoint JSON.
+    if (f.exists(dst)) f.delete(dst, false)
+    if (!f.rename(new Path(tmp), dst))
+      throw new java.io.IOException(
+        s"checkpoint commit failed: rename $tmp -> $dst")
   }
 
   def list(): Seq[Checkpoint] = {

@@ -99,7 +99,13 @@ object Searcher {
       totalTokens = tokTotal,
       avgdl = if (statsList.size == 1) statsList.head.avgdl
               else if (nTotal == 0) 0.0 else tokTotal.toDouble / nTotal,
-      maxDocId = statsList.map(_.maxDocId).max)
+      maxDocId = statsList.map(_.maxDocId).max,
+      // maxDl must cover EVERY generation: θ₀ = score(tf=1, dl=maxDl)
+      // is only a safe lower bound under the global max dl. A
+      // generation reporting 0 (an old stats.json) means "unknown" —
+      // propagate 0 so theta0Free disables itself.
+      maxDl = if (statsList.exists(_.maxDl <= 0)) 0L
+              else statsList.map(_.maxDl).max)
 
     // 1. tokenize + dictionary lookup (driver; dictionaries pruned by
     //    termHash pushdown, not a full scan); df summed across
@@ -324,10 +330,16 @@ object Searcher {
       .groupByKey(x => (x._1, x._2))
       .flatMapGroups { (key: (Long, Int),
                         it: Iterator[(Long, Int, Int, Double, SegmentBlock)]) =>
+        // Window bounds MUST invert rangeOf exactly: rangeOf uses
+        // floor(docId·R/M), whose preimage for range r is
+        // [ceil(r·M/R), ceil((r+1)·M/R)). A floor-based lo/hi here
+        // would mask out boundary docIds when M % R != 0 (silent doc
+        // loss — a block ending exactly on the boundary is scattered
+        // only to range r but the window excluded its last doc).
         val (qid, r) = key
-        val lo = if (r == 0) 0L else r.toLong * maxDoc / ranges
+        val lo = (r.toLong * maxDoc + ranges - 1) / ranges
         val hi = if (r == ranges - 1) Long.MaxValue
-                 else (r.toLong + 1) * maxDoc / ranges
+                 else ((r.toLong + 1) * maxDoc + ranges - 1) / ranges
         // group blocks per (termIdx, skey) → cursors
         val bySkey = it.toSeq.groupBy(x => (x._3, x._5.skey))
         val cursors = bySkey.map { case ((tIdx, _), rows) =>

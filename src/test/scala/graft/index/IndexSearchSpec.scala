@@ -96,6 +96,35 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("range boundaries exact at blockSize=1, numDocs % numRanges != 0") {
+    // Regression: rangeOf = floor(docId·R/M) vs gather window must use
+    // the ceil-based inverse; with blockSize 1 every block ends on
+    // every docId, so any boundary mismatch loses a doc.
+    val dir = SparkTestSession.tmpDir("graft_idx_b1")
+    val n = 300L
+    val docs = DocIds.fromPages(
+      PagesGen.pages(spark, n, partitions = 5), 5, useExtractor = true)
+    IndexBuilder.build(docs, dir,
+      IndexBuilder.Config(numBuckets = 4, blockSize = 1, numGroups = 1,
+        saltTarget = 100L, shufflePartitions = 8), buildId = "b1")
+    val corpus = ScalarOracle.corpus(
+      (0L until n).map(i => PagesGen.row(42L, i))
+        .map(p => (p.url, p.text)).sortBy(_._1).zipWithIndex
+        .map { case ((_, t), r) => (r.toLong, t) })
+    val queries = QuerySet.queries().take(8)
+    for (ranges <- Seq(7, 11)) { // 300 % 7 = 6, 300 % 11 = 3
+      val hits = Searcher.search(spark, dir, queries, 10, Searcher.Or,
+        numRanges = ranges).collect().groupBy(_.queryId)
+      queries.foreach { q =>
+        val want = ScalarOracle.topK(corpus, q.text, 10)
+        val got = hits.getOrElse(q.queryId, Array.empty)
+          .sortBy(_.rank).map(h => (h.docId, h.score)).toSeq
+        assert(got == want,
+          s"ranges=$ranges query '${q.text}': engine=$got oracle=$want")
+      }
+    }
+  }
+
   test("url back-join resolves every hit") {
     val hits = Searcher.search(spark, indexDir,
       QuerySet.queries().take(5), 10, Searcher.Or, 4)
