@@ -81,43 +81,60 @@ object OracleSql {
        |  FROM (SELECT doc_id, $toksExpr AS t FROM documents)
        |  WHERE len(t) >= 3)""".stripMargin
 
-  def ngramJaccard(threshold: Double): String =
+  /** Mirror of [[graft.pipeline.Dedup.ngramJaccard]]: candidates via
+    * shingles with df ≤ maxShingleDf (the hot-shingle guard), Jaccard
+    * verified over the FULL shingle sets.
+    */
+  def ngramJaccard(threshold: Double, maxShingleDf: Long): String =
     s"""WITH $shinglesCte,
        |p AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    count(*) AS inter
-       |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |j AS (SELECT doc_a, doc_b,
-       |    inter::DOUBLE / (len(sa.shs) + len(sb.shs) - inter) AS jac
-       |  FROM inter JOIN sh sa ON sa.doc_id = doc_a
-       |       JOIN sh sb ON sb.doc_id = doc_b)
-       |SELECT doc_a, doc_b, round(jac, 4) AS jac_r FROM j
-       |WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
-
-  def minhashLsh(numHashes: Int, bands: Int, threshold: Double): String = {
-    val rows = numHashes / bands
-    val mhList = (0 until numHashes).map(j =>
-      s"list_min(list_transform(shs, s -> md5('$j|' || s)))")
-      .mkString("[", ", ", "]")
-    val bandSelects = (0 until bands).map { b =>
-      val bval = (0 until rows).map(r => s"mh[${b * rows + r + 1}]")
-        .mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, $bval AS bval FROM sig"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH $shinglesCte,
-       |sig AS (SELECT doc_id, $mhList AS mh FROM sh),
-       |banded AS (
-       |  $bandSelects),
+       |cool AS (SELECT s FROM p GROUP BY s
+       |  HAVING count(*) <= $maxShingleDf),
+       |pc AS (SELECT p.doc_id, p.s FROM p JOIN cool USING(s)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |  FROM pc a JOIN pc b ON a.s = b.s AND a.doc_id < b.doc_id),
        |j AS (SELECT doc_a, doc_b,
        |    len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))::DOUBLE /
        |    (len(sa.shs) + len(sb.shs) -
        |     len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))) AS jac
        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a
        |       JOIN sh sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, round(jac, 4) AS jac_r FROM j
+       |WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Mirror of [[graft.pipeline.Dedup.minhashLsh]]: one md5 per
+    * shingle; signature slot j = min over the hex digests rotated by
+    * 2j chars; candidates from banded slot equality; exact Jaccard
+    * verified over the md5-hashed shingle sets.
+    */
+  def minhashLsh(numHashes: Int, bands: Int, threshold: Double): String = {
+    val rows = numHashes / bands
+    val mhList = (0 until numHashes).map { j =>
+      val cut = 2 * j
+      if (cut == 0) "list_min(hs)"
+      else "list_min(list_transform(hs, h -> " +
+        s"substr(h, ${cut + 1}) || substr(h, 1, $cut)))"
+    }.mkString("[", ", ", "]")
+    val bandSelects = (0 until bands).map { b =>
+      val bval = (0 until rows).map(r => s"mh[${b * rows + r + 1}]")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $bval AS bval FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shinglesCte,
+       |hb AS (SELECT doc_id, list_transform(shs, s -> md5(s)) AS hs
+       |  FROM sh),
+       |sig AS (SELECT doc_id, $mhList AS mh FROM hb),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |j AS (SELECT doc_a, doc_b,
+       |    len(list_filter(ha.hs, x -> list_contains(h2.hs, x)))::DOUBLE /
+       |    (len(ha.hs) + len(h2.hs) -
+       |     len(list_filter(ha.hs, x -> list_contains(h2.hs, x)))) AS jac
+       |  FROM cand JOIN hb ha ON ha.doc_id = doc_a
+       |       JOIN hb h2 ON h2.doc_id = doc_b)
        |SELECT doc_a, doc_b, round(jac, 4) AS jac_r FROM j
        |WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
   }

@@ -229,7 +229,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
     "dedup_ngram" -> ((s, d) =>
-      Dedup.ngramJaccard(t(s, d, "documents"), "doc_id", "text", 0.3)),
+      Dedup.ngramJaccard(t(s, d, "documents"), "doc_id", "text", 0.3,
+        maxShingleDf = 100L)),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text", 16, 4, 0.2)),
     "dedup_simhash" -> ((s, d) =>
@@ -283,15 +284,11 @@ object SparkEntry {
           count(when(col("event_type") === "view", 1)).as("views"),
           count(when(col("event_type") === "purchase", 1)).as("purchases"))
         .orderBy("bucket")),
-    "dedup_embedding" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          round(graft.pipeline.Similarity.cosine(
-            col("a.embedding"), col("b.embedding")), 4).as("cos_r"))
-        .filter(col("cos_r") >= 0.45)
-        .orderBy("id_a", "id_b")
-    }),
+    "dedup_embedding" -> ((s, d) =>
+      // exact all-pairs semantics (oracle = plain self-join) executed
+      // as a triangular block join — no nested-loop join in the plan
+      Dedup.embeddingPairsExact(t(s, d, "embeddings"), "vec_id",
+        "embedding", 0.45, numBlocks = 8)),
     // ---- streaming (§2.8) ------------------------------------------
     "st_stream_agg" -> ((s, d) => Streaming.streamAgg(s, d)),
     // ---- multimodal plumbing (binary column; rows-only) ------------
@@ -408,7 +405,7 @@ object SparkEntry {
       "ORDER BY doc_id"),
     "dedup_exact" -> ("SELECT md5(text) AS fp, count(*) AS n, " +
       "min(doc_id) AS keeper FROM documents GROUP BY fp ORDER BY fp"),
-    "dedup_ngram" -> OracleSql.ngramJaccard(0.3),
+    "dedup_ngram" -> OracleSql.ngramJaccard(0.3, maxShingleDf = 100L),
     "dedup_minhash_lsh" -> OracleSql.minhashLsh(16, 4, 0.2),
     "sim_cosine_topk" -> OracleSql.cosineTopK(0L, 20),
     "sim_knn_join" -> OracleSql.knnJoin(10, 3),

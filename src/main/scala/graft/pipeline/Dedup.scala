@@ -3,13 +3,14 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.index.IndexBuilder
+
 /** Deduplication operators over a (doc_id, text) corpus — exact,
-  * MinHash+LSH, n-gram Jaccard, SimHash. All shuffles are keyed
-  * groupBy/joins on content hashes: at 100 TB the exact dedup is one
-  * hash-partitioned aggregation, and LSH turns the quadratic pair
-  * search into band-bucket joins whose fan-out is bounded by bucket
-  * size (hot buckets are the same skew problem as hot terms — same
-  * salting story applies).
+  * MinHash+LSH, n-gram Jaccard, SimHash, embedding-cosine. All
+  * shuffles are keyed groupBy/joins on content hashes; quadratic
+  * work, where semantics force it, is decomposed into bounded
+  * independent cells (triangular block join) so no single task and no
+  * nested-loop join ever owns the full pair space.
   */
 object Dedup {
 
@@ -20,73 +21,104 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
       .orderBy("fp")
 
-
   /** All-pairs n-gram Jaccard ≥ threshold via an explode + self-join
-    * on shingles (exact; use LSH below when the corpus is large).
+    * on shingles (exact baseline; use LSH below when the corpus is
+    * large). `maxShingleDf` guards the hot-shingle blowup: a shingle
+    * appearing in m docs contributes m² rows to the intersection
+    * count, so boilerplate shingles (df above the cap) are excluded
+    * from CANDIDATE generation — the Jaccard itself is still computed
+    * over the full shingle sets, so only pairs whose every common
+    * shingle is boilerplate can be lost (and those are the pairs a
+    * near-dup pass wants to ignore).
     */
-  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc_id"),
-        TextOps.shingles(col(textCol)).as("shs"))
+  /** (doc_id, shs) with typed shingling, persisted — the plan below
+    * references it several times (explode, both verify sides).
+    */
+  private def shingled(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, tx) => (id, TextOps.shinglesScala(tx)) }
+      .toDF("doc_id", "shs")
       .filter(size(col("shs")) > 0)
-    val sizes = sh.select(col("doc_id"), size(col("shs")).as("nsh"))
-    val pairs = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double,
+                   maxShingleDf: Long = 100L): DataFrame = {
+    val sh = shingled(docs, idCol, textCol)
+    val pairs0 = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
+    // hot-shingle guard: df per shingle, candidates only via cool ones
+    val cool = pairs0.groupBy(col("sh")).agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") <= maxShingleDf).select(col("sh"))
+    val pairs = pairs0.join(cool, "sh")
     val inter = pairs.as("a")
       .join(pairs.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verify on the FULL shingle sets
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("nsh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("nsh", "nb"), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac_r"))
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash + LSH near-dup pairs: numHashes md5-minhashes, banded
-    * into `bands`; docs sharing any band become candidates; candidates
-    * verified by exact Jaccard ≥ threshold. The band join is the
-    * scale path — no all-pairs comparison ever materializes.
+  /** MinHash + LSH near-dup pairs. Signature slot j = min over
+    * shingles of the shingle's md5 hex digest ROTATED by 2j chars —
+    * ONE digest per shingle plus cheap string rotations (a
+    * one-permutation-style family over a single base hash), instead of
+    * numHashes full digests per shingle; reproducible in DuckDB SQL.
+    * Docs sharing any band of `rows` consecutive slots become
+    * candidates; candidates are verified by exact Jaccard over the
+    * md5-hashed shingle sets (never re-joining raw shingle arrays).
+    *
+    * Hot-band skew: a band value shared by m docs implies m²/2
+    * candidate pairs; pair generation runs in salted triangular cells
+    * (S(S+1)/2 cells per band value, each holding two of the S
+    * docId-hash salt groups), so a hot band's pairs are produced by
+    * many tasks instead of one — same output, bounded task size.
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 numHashes: Int, bands: Int,
-                 threshold: Double): DataFrame = {
+                 numHashes: Int, bands: Int, threshold: Double,
+                 saltCells: Int = 3): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
     val rows = numHashes / bands
-    val sh = docs
-      .select(col(idCol).as("doc_id"),
-        TextOps.shingles(col(textCol)).as("shs"))
-      .filter(size(col("shs")) > 0)
-    sh.cache()
-    // Typed minhash: the 16-way md5 Column expression overflows janino
-    // codegen (falls back to interpreted, ~10x slower); a mapPartitions
-    // with one reused MessageDigest computes identical hex strings.
-    val spark2 = docs.sparkSession
-    import spark2.implicits._
-    val sig = sh.as[(Long, Seq[String])].mapPartitions { it =>
+    val sh = shingled(docs, idCol, textCol)
+    val hashed = sh.as[(Long, Seq[String])].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      def hex(b: Array[Byte]): String =
-        b.map(x => f"$x%02x").mkString
       it.map { case (id, shs) =>
-        val mh = Array.tabulate(numHashes) { j =>
-          var best: String = null
-          shs.foreach { s =>
-            md.reset()
-            val h = hex(md.digest(s"$j|$s".getBytes("UTF-8")))
-            if (best == null || h < best) best = h
-          }
-          best
+        val hs = shs.map { s =>
+          md.reset()
+          md.digest(s.getBytes("UTF-8")).map(x => f"$x%02x").mkString
         }
-        (id, mh.toSeq)
+        (id, hs)
       }
+    }.toDF("doc_id", "hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nH = numHashes
+    val sig = hashed.as[(Long, Seq[String])].map { case (id, hs) =>
+      val mh = Array.tabulate(nH) { j =>
+        val cut = 2 * j
+        var best: String = null
+        hs.foreach { h =>
+          val r = h.substring(cut) + h.substring(0, cut)
+          if (best == null || r < best) best = r
+        }
+        best
+      }
+      (id, mh.toSeq)
     }.toDF("doc_id", "mh")
-    // band value = concatenated minhashes of the band's rows
     val banded = sig.select(col("doc_id"), explode(
       array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -94,23 +126,42 @@ object Dedup {
             element_at(col("mh"), b * rows + r + 1)): _*).as("bval"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bval"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // verify candidates with exact Jaccard
-    val withSets = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-    withSets
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+    // salted triangular cells → candidate pairs (order-normalized)
+    val s = math.max(1, saltCells)
+    val cand = banded.as[(Long, Int, String)].flatMap {
+      case (id, band, bval) =>
+        val g = IndexBuilder.saltOf(id, s)
+        Iterator.range(g, s).map(t => ((band, bval, g, t), id)) ++
+          Iterator.range(0, g).map(t => ((band, bval, t, g), id))
+    }.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val (_, _, ci, cj) = key
+      val a = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.foreach { case (_, id) =>
+        if (IndexBuilder.saltOf(id, s) == ci) a += id else b += id
+      }
+      if (ci == cj)
+        for {
+          i <- a.indices.iterator; j <- Iterator.range(i + 1, a.length)
+        } yield
+          if (a(i) < a(j)) (a(i), a(j)) else (a(j), a(i))
+      else
+        for { x <- a.iterator; y <- b.iterator }
+          yield if (x < y) (x, y) else (y, x)
+    }.toDF("doc_a", "doc_b").distinct()
+    // verify candidates: exact Jaccard over hashed shingle sets
+    val out = cand
+      .join(hashed.select(col("doc_id").as("doc_a"), col("hs").as("ha")),
+        "doc_a")
+      .join(hashed.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
+        "doc_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("jac", col("inter").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("inter")))
+        (size(col("ha")) + size(col("hb")) - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac_r"))
       .orderBy("doc_a", "doc_b")
+    out
   }
 
   /** SimHash per doc (64-bit, hex) — near-dup docs have small hamming
@@ -128,5 +179,74 @@ object Dedup {
       }
       .toDF("doc_id", "simhash")
       .orderBy("doc_id")
+  }
+
+  /** Exact all-pairs embedding cosine ≥ threshold as a triangular
+    * block join: ids hash into `numBlocks` groups; cell (i, j), i ≤ j,
+    * receives blocks i and j and scores their cross pairs in one task
+    * with primitive-array dot products. The O(n²) pair space —
+    * demanded by the EXACT semantics — is spread over B(B+1)/2
+    * independent cells at replication factor B, with no nested-loop
+    * join and no driver-side collect (round 1 planned this as a
+    * BroadcastNestedLoopJoin with an interpreted per-pair aggregate:
+    * 56 s at 2 000 vectors, unrunnable at 100×). Scale B with
+    * sqrt(n²·dims / per-task-budget); beyond ~10⁷ vectors switch to
+    * the LSH-bucketed approximate path ([[Similarity.bucketed]]) and
+    * document the recall.
+    */
+  def embeddingPairsExact(emb: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double,
+                          numBlocks: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bN = math.max(1, numBlocks)
+    val thr = threshold
+    val cells = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, vs) =>
+        val vec = vs.toArray
+        var n2 = 0.0
+        var d = 0
+        while (d < vec.length) { n2 += vec(d).toDouble * vec(d); d += 1 }
+        val nrm = math.sqrt(n2)
+        val blk = IndexBuilder.saltOf(id, bN)
+        Iterator.range(blk, bN).map(j => (blk * bN + j, id, vec, nrm)) ++
+          Iterator.range(0, blk).map(i => (i * bN + blk, id, vec, nrm))
+      }
+    cells.groupByKey(_._1).flatMapGroups { (cell, it) =>
+      val ci = cell / bN
+      val cj = cell % bN
+      val a = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Array[Float], Double)]
+      val b = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Array[Float], Double)]
+      it.foreach { case (_, id, vec, nrm) =>
+        if (IndexBuilder.saltOf(id, bN) == ci) a += ((id, vec, nrm))
+        else b += ((id, vec, nrm))
+      }
+      // rounded cosine, double accumulation in dim order — identical
+      // arithmetic to round(aggregate(zip_with(...)), 4)
+      def cosR(x: (Long, Array[Float], Double),
+               y: (Long, Array[Float], Double)): Double = {
+        val xv = x._2; val yv = y._2
+        var dot = 0.0
+        var d = 0
+        while (d < xv.length) { dot += xv(d).toDouble * yv(d).toDouble; d += 1 }
+        java.math.BigDecimal.valueOf(dot / (x._3 * y._3))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+      val within =
+        if (ci == cj)
+          for {
+            i <- a.indices.iterator; j <- Iterator.range(i + 1, a.length)
+          } yield (a(i), a(j))
+        else for { x <- a.iterator; y <- b.iterator } yield (x, y)
+      within.flatMap { case (x, y) =>
+        val c = cosR(x, y)
+        if (c >= thr)
+          Some(if (x._1 < y._1) (x._1, y._1, c) else (y._1, x._1, c))
+        else None
+      }
+    }.toDF("id_a", "id_b", "cos_r").orderBy("id_a", "id_b")
   }
 }

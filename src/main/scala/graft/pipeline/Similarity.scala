@@ -69,34 +69,96 @@ object Similarity {
   def planeComponent(seed: Long, j: Int, d: Int): Double =
     Det.unit(Det.h(seed, j.toLong * 100003L + d, 5L)) * 2.0 - 1.0
 
-  /** LSH-bucketed approximate NN: sign-bucket every vector by
-    * `numPlanes` random hyperplanes, then exact-rerank only within the
-    * query vector's bucket. Approximate by construction (recall < 1) —
-    * validated by recall tests, not an equality oracle.
+  /** Hyperplane matrix for one LSH table (tables are seed-mixed). */
+  def planeMatrix(seed: Long, table: Int, numPlanes: Int,
+                  dims: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dims)((j, d) =>
+      planeComponent(seed + table.toLong * 1000003L, j, d))
+
+  /** Per-plane signed dots of one vector (double accumulation in dim
+    * order — the arithmetic the DuckDB mirror reproduces).
+    */
+  def planeDots(vec: Array[Float], ps: Array[Array[Double]]): Array[Double] = {
+    val out = new Array[Double](ps.length)
+    var j = 0
+    while (j < ps.length) {
+      val p = ps(j)
+      var dot = 0.0
+      var d = 0
+      while (d < p.length) { dot += vec(d).toDouble * p(d); d += 1 }
+      out(j) = dot
+      j += 1
+    }
+    out
+  }
+
+  /** Sign bucket of one vector: bit j set iff dot(vec, plane_j) >= 0.
+    * Computed in a tight typed loop — the Column formulation chained
+    * numPlanes×dims `element_at` terms, overflowed janino's 64KB
+    * method limit, and silently fell back to interpreted evaluation.
+    */
+  def signBucket(vec: Array[Float], ps: Array[Array[Double]]): Long = {
+    val dots = planeDots(vec, ps)
+    var b = 0L
+    var j = 0
+    while (j < dots.length) { if (dots(j) >= 0) b |= (1L << j); j += 1 }
+    b
+  }
+
+  /** (id, vec, bucket) dataset for one LSH table. */
+  def bucketed(emb: DataFrame, idCol: String, vecCol: String,
+               numPlanes: Int, seed: Long, table: Int = 0)
+      : org.apache.spark.sql.Dataset[(Long, Seq[Float], Long)] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    val np = numPlanes
+    emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        // planes derived deterministically on each task — no broadcast
+        val ps = planeMatrix(seed, table, np, dims)
+        it.map { case (id, v) => (id, v, signBucket(v.toArray, ps)) }
+      }
+  }
+
+  /** LSH-bucketed approximate NN with multiprobe: sign-bucket every
+    * vector by `numPlanes` hyperplanes, probe the query's bucket PLUS
+    * the buckets reached by flipping the 1-2 planes with the smallest
+    * |dot| margin (the classic multiprobe recall recovery — a near
+    * neighbor lost to one knife-edge plane is found in the flipped
+    * bucket), then exact-rerank only within the probed buckets.
+    * Approximate by construction (recall < 1) — validated by recall
+    * tests, not an equality oracle.
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, numPlanes: Int = 8,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, multiprobe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val dims = emb.select(size(col(vecCol))).head().getInt(0)
-    def bucketCol(vec: Column): Column = {
-      val bits = (0 until numPlanes).map { j =>
-        val dot = (0 until dims).map { d =>
-          element_at(vec, d + 1).cast("double") *
-            lit(planeComponent(seed, j, d))
-        }.reduce(_ + _)
-        when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
+    val b = bucketed(emb, idCol, vecCol, numPlanes, seed)
+      .toDF(idCol, vecCol, "bucket")
+    val qVec = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Float](0).toArray
+    val ps = planeMatrix(seed, 0, numPlanes, dims)
+    val dots = planeDots(qVec, ps)
+    val qBucket = {
+      var x = 0L; var j = 0
+      while (j < dots.length) { if (dots(j) >= 0) x |= (1L << j); j += 1 }
+      x
     }
-    val bucketed = emb.select(col(idCol), col(vecCol),
-      bucketCol(col(vecCol)).as("bucket"))
-    val qRow = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol), col("bucket")).head()
-    val qVec = qRow.getSeq[Float](0)
-    val qBucket = qRow.getLong(1)
-    val qArr = array(qVec.map(v => lit(v)): _*)
-    bucketed
-      .filter(col("bucket") === qBucket && col(idCol) =!= queryId)
+    // probe set: primary ∪ single flips of the `multiprobe` nearest
+    // planes ∪ the double flip of the two nearest
+    val nearest = dots.zipWithIndex.sortBy(x => math.abs(x._1))
+      .take(math.max(0, multiprobe)).map(_._2)
+    val probes = (Seq(qBucket) ++
+      nearest.map(j => qBucket ^ (1L << j)) ++
+      (if (nearest.length >= 2)
+         Seq(qBucket ^ (1L << nearest(0)) ^ (1L << nearest(1)))
+       else Seq.empty)).distinct
+    val qArr = array(qVec.map(v => lit(v)).toSeq: _*)
+    b.filter(col("bucket").isin(probes: _*) && col(idCol) =!= queryId)
       .select(col(idCol),
         round(cosine(col(vecCol), qArr), 4).as("cos_r"))
       .orderBy(desc("cos_r"), col(idCol))

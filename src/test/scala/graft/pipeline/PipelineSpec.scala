@@ -78,20 +78,73 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == want.map(_._1))
   }
 
-  test("LSH ANN returns a subset of brute-force candidates with same scores") {
+  test("LSH ANN multiprobe: recall@20 >= 0.8 vs brute force, exact scores") {
     import spark.implicits._
-    val vecs = (0 until 200).map { i =>
+    val vecs = (0 until 400).map { i =>
       (i.toLong, Array.tabulate(16)(d =>
         (graft.Det.unit(graft.Det.h(9L, i, d)) * 2 - 1).toFloat))
     }
     val df = vecs.toDF("vec_id", "embedding").cache()
-    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", 1L, 200)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val approx = Similarity.lshTopK(df, "vec_id", "embedding", 1L, 10,
-      numPlanes = 4).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", 1L, 400)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val exactTop20 = exact.take(20).map(_._1).toSet
+    val exactScores = exact.toMap
+    val approx = Similarity.lshTopK(df, "vec_id", "embedding", 1L, 20,
+      numPlanes = 4, multiprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
     assert(approx.nonEmpty)
     approx.foreach { case (id, c) =>
-      assert(exact(id) == c, s"vec $id score differs from brute force")
+      assert(exactScores(id) == c, s"vec $id score differs from brute force")
+    }
+    val recall = approx.count(x => exactTop20.contains(x._1)) / 20.0
+    assert(recall >= 0.8, s"recall@20 = $recall < 0.8")
+  }
+
+  test("embedding block-pair join == naive all-pairs at threshold") {
+    import spark.implicits._
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(12)(d =>
+        (graft.Det.unit(graft.Det.h(7L, i, d)) * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def cosR(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (d <- a.indices) {
+        dot += a(d).toDouble * b(d).toDouble
+        na += a(d).toDouble * a(d).toDouble
+        nb += b(d).toDouble * b(d).toDouble
+      }
+      java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val want = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      c = cosR(vecs(i)._2, vecs(j)._2) if c >= 0.3
+    } yield (vecs(i)._1, vecs(j)._1, c)).sortBy(x => (x._1, x._2))
+    assert(want.nonEmpty, "test needs a nonempty expected pair set")
+    for (blocks <- Seq(1, 4, 7)) {
+      val got = Dedup.embeddingPairsExact(df, "vec_id", "embedding",
+        0.3, numBlocks = blocks).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == want, s"numBlocks=$blocks differs from naive all-pairs")
+    }
+  }
+
+  test("minhash salted cells: any saltCells gives identical pairs (skew)") {
+    // one hot band value: 12 near-identical docs all share every band
+    val base = (1 to 40).map(i => s"tok$i")
+    val docs = (0 until 12).map(i => (i.toLong, base.mkString(" "))) ++
+      Seq(100L -> (200 to 240).map(i => s"tok$i").mkString(" "))
+    val df = docsDf(docs)
+    val ref = Dedup.minhashLsh(df, "doc_id", "text", 16, 4, 0.2,
+      saltCells = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(ref.size == 12 * 11 / 2, "expected all hot-bucket pairs")
+    for (s <- Seq(3, 5)) {
+      val got = Dedup.minhashLsh(df, "doc_id", "text", 16, 4, 0.2,
+        saltCells = s).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == ref, s"saltCells=$s changed the pair set")
     }
   }
 
