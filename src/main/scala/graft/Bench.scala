@@ -148,66 +148,66 @@ object Bench {
     org.apache.spark.sql.SparkSession.clearActiveSession()
     org.apache.spark.sql.SparkSession.clearDefaultSession()
 
-    // 3. scaling protocol: N=8 vs 4N=32 cores, same input. The size
-    // must be large enough that compute dominates fixed job overhead,
-    // and the sandbox is a microVM on a SHARED host (measured raw-CPU
-    // variance ~±30% minute to minute) — so runs alternate configs and
-    // the best run per config is compared, the standard way to strip
-    // host noise from a scaling measurement.
+    // 3. scaling protocol (north rule: same job, N vs 4N, efficiency
+    // ≥ 0.8). Protocol decisions, each on a measurement:
+    //  - pair 2→8 threads: this microVM's host throttles progressively
+    //    from ~16 threads (the in-JVM hashing control measured a 4→16
+    //    ceiling of 0.76 in some windows — no engine can beat the box);
+    //    2→8 sits below throttle onset (control ≈ 0.95-1.05).
+    //  - 120k docs: fixed per-build overhead is ~4s (planning, commits,
+    //    observation barriers); the work must dominate it, as it would
+    //    on any real cluster run.
+    //  - one untimed WARMUP build first: JIT + codegen compilation is
+    //    ~10s once per JVM; a long-running cluster job runs warm.
+    //  - MEDIAN of interleaved reps (each rep = N then 4N back-to-back;
+    //    the host's own throughput swings ±30% between windows, and
+    //    only adjacent runs are comparable). Median, not best-of —
+    //    per-rep values are all reported.
     var scalingJson = ""
     if (doScaling) {
-      val sDocs = math.max(nDocs,
-        sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "60000").toLong)
+      val sDocs =
+        sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "120000").toLong
       val sRoot = s"/tmp/graft_bench/$sDocs"
       val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
-      def run(cpus: Int, tag: String): (Double, Double) = {
+      def run(cpus: Int, tag: String, docs: Long): (Double, Double) = {
         val s = session(cpus)
-        val r = buildBench(s, sDocs, s"$sRoot/idx$tag")
+        val r = buildBench(s, docs, s"$sRoot/idx$tag")
         s.stop()
         org.apache.spark.sql.SparkSession.clearActiveSession()
         org.apache.spark.sql.SparkSession.clearDefaultSession()
         r
       }
-      // N and 4N thread counts: default 4→16 (the host throttles
-      // sustained 32-way bursts; any N→4N pair evidences the
-      // criterion, and the in-JVM control reports the machine ceiling
-      // at the same pair for honesty)
-      val pair = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAIR", "4,16")
+      val pair = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAIR", "2,8")
         .split(",").map(_.trim.toInt)
       val (nCpu, n4Cpu) = (pair(0), pair(1))
-      cpuControl(4) // JIT warmup
-      val ctlNa = cpuControl(nCpu)
-      val ctl4Na = cpuControl(n4Cpu)
-      // The host's OWN 4x-thread ratio swings 0.6-1.2 between time
-      // windows, so only ratios of ADJACENT runs mean anything: each
-      // rep measures N then 4N back-to-back and yields one efficiency;
-      // the best rep (least host interference) is reported. A wall
-      // budget bounds total bench time (an unfinished bench emits no
-      // JSON at all): always >= 1 rep, stop early past the budget.
+      run(n4Cpu, "warmup", math.max(5000L, sDocs / 10)) // untimed warmup
+      cpuControl(4) // control JIT warmup
+      val ctlN = cpuControl(nCpu)
+      val ctl4N = cpuControl(n4Cpu)
       val benchStart = System.nanoTime()
       val budgetSecs =
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "240").toInt
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "360").toInt
+      // always >= 1 rep; stop early past the wall budget
       val perRep = (0 until reps).flatMap { i =>
         val elapsed = (System.nanoTime() - benchStart) / 1e9
         if (i > 0 && elapsed > budgetSecs) None
         else {
-          val rN = run(nCpu, s"N$i")
-          val r4N = run(n4Cpu, s"4N$i")
+          val rN = run(nCpu, s"N$i", sDocs)
+          val r4N = run(n4Cpu, s"4N$i", sDocs)
           Some((rN, r4N, (r4N._1 / rN._1) / 4.0))
         }
       }
-      val ctlN = math.max(ctlNa, cpuControl(nCpu))
-      val ctl4N = math.max(ctl4Na, cpuControl(n4Cpu))
       val machineEff = (ctl4N / ctlN) / 4.0
-      val best = perRep.maxBy(_._3)
-      val (dpsN, secsN) = best._1
-      val (dps4N, secs4N) = best._2
-      val eff = best._3
-      val normEff = eff / machineEff
-      scalingJson = f""","scaling":{"docs":$sDocs,"cores_N":$nCpu,"cores_4N":$n4Cpu,"docs_per_sec_N":$dpsN%.1f,"docs_per_sec_4N":$dps4N%.1f,"efficiency":$eff%.3f,"machine_ceiling_efficiency":$machineEff%.3f,"normalized_efficiency":$normEff%.3f}"""
+      val sorted = perRep.sortBy(_._3)
+      val med = sorted(sorted.size / 2) // upper median
+      val (dpsN, secsN) = med._1
+      val (dps4N, secs4N) = med._2
+      val eff = med._3
+      val repsJson = perRep.map(r => f"${r._3}%.3f").mkString("[", ",", "]")
+      scalingJson = f""","scaling":{"docs":$sDocs,"cores_N":$nCpu,"cores_4N":$n4Cpu,"docs_per_sec_N":$dpsN%.1f,"docs_per_sec_4N":$dps4N%.1f,"efficiency":$eff%.3f,"per_rep_efficiency":$repsJson,"machine_ceiling_efficiency":$machineEff%.3f}"""
       val sLast = session(nCpu)
       writeScalingReport(sLast, sDocs, nCpu, n4Cpu, dpsN, secsN, dps4N,
-        secs4N, eff, machineEff, p50, p95)
+        secs4N, eff, perRep.map(_._3), machineEff, p50, p95)
       sLast.stop()
     }
 
@@ -220,34 +220,45 @@ object Bench {
   private def writeScalingReport(spark: SparkSession, nDocs: Long,
       nCpu: Int, n4Cpu: Int,
       dpsN: Double, secsN: Double, dps4N: Double, secs4N: Double,
-      eff: Double, machineEff: Double, p50: Double, p95: Double): Unit = {
+      eff: Double, perRep: Seq[Double], machineEff: Double,
+      p50: Double, p95: Double): Unit = {
+    val repRows = perRep.zipWithIndex
+      .map { case (e, i) => f"| $i | $e%.3f |" }.mkString("\n")
     val md =
       f"""# BENCH — scaling evidence (north rule)
          |
          |Same index build job, same input (synthetic webtext, seed 42,
          |$nDocs docs, avgdl ≈ 275), two parallelism levels in this
          |sandbox (no real cluster): local[$nCpu] = N, local[$n4Cpu] = 4N.
-         |Best of interleaved repetitions per config (the sandbox is a
-         |microVM on a shared host with ±30%% minute-to-minute noise).
          |
-         |The pair is $nCpu→$n4Cpu rather than 8→32 because the host
-         |throttles sustained 32-way bursts in this VM: an
-         |embarrassingly-parallel in-JVM hashing control collapses at 32
-         |threads exactly like the engine does (16 threads ≈ 2350
-         |docs/s, 32 ≈ 700 for the engine; same cliff for the control),
-         |so 32-thread numbers measure the box, not the code. The
-         |control's 4× ratio is reported below as the machine ceiling.
+         |Protocol (each choice pinned by a measurement):
+         |- pair $nCpu→$n4Cpu: the shared host throttles progressively from
+         |  ~16 threads (in-JVM hashing control measured a 4→16 ceiling
+         |  of 0.76 in some windows); $nCpu→$n4Cpu sits below throttle onset
+         |  (control ≈ 0.95-1.05 there).
+         |- $nDocs docs: fixed per-build cost is ~4 s (planning, commits,
+         |  observation barriers); work must dominate it as on a real
+         |  cluster run.
+         |- one untimed warmup build first (JIT + codegen ≈ 10 s, paid
+         |  once per JVM; cluster jobs run warm).
+         |- MEDIAN of interleaved reps, each rep = N then 4N
+         |  back-to-back (host throughput swings ±30%% between windows).
+         |  All reps reported below — no best-of selection.
          |
          || Config | Build secs | docs/sec |
          ||---|---|---|
          || local[$nCpu] (N) | $secsN%.1f | $dpsN%.1f |
          || local[$n4Cpu] (4N) | $secs4N%.1f | $dps4N%.1f |
+         |(median rep)
+         |
+         || rep | raw efficiency |
+         ||---|---|
+         |$repRows
          |
          || Metric | Value |
          ||---|---|
-         || Engine scaling efficiency (tp_4N / tp_N) / 4 | **$eff%.3f** (target ≥ 0.8) |
-         || Machine ceiling (same ratio, embarrassingly-parallel in-JVM hashing) | $machineEff%.3f |
-         || Normalized engine efficiency (engine / ceiling) | **${eff / machineEff}%.3f** |
+         || Engine scaling efficiency, median (tp_4N / tp_N) / 4 | **$eff%.3f** (target ≥ 0.8) |
+         || Machine control (same ratio, embarrassingly-parallel in-JVM hashing) | $machineEff%.3f |
          |
          |Query latency over the committed query set (k=10, OR/WAND):
          |p50 = ${p50 * 1000}%.0f ms, p95 = ${p95 * 1000}%.0f ms.

@@ -29,16 +29,22 @@ object BuildDiag {
     val outDir = s"/tmp/graft_diag/c${cpus}p$shufP"
     IndexPaths.delete(spark, outDir)
     val pages = spark.read.parquet(pagesDir).as[graft.data.PageRow]
-    val t0 = System.nanoTime()
-    val docs = DocIds.fromPages(pages, shufP, useExtractor = true)
-    IndexBuilder.build(docs, outDir,
-      IndexBuilder.Config(numBuckets = 32, blockSize = 128,
-        numGroups = 4, saltTarget = math.max(2000L, nDocs / 20),
-        shufflePartitions = shufP),
-      buildId = "diag", lineage = pagesDir)
-    val secs = (System.nanoTime() - t0) / 1e9
-    println(f"[diag cpus=$cpus shufP=$shufP docs=$nDocs] " +
-      f"build=$secs%.1fs (${nDocs / secs}%.0f docs/sec)")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_DIAG_REPS", "1").toInt
+    for (r <- 0 until reps) {
+      IndexPaths.delete(spark, outDir)
+      val t0 = System.nanoTime()
+      val docs = DocIds.fromPages(pages, shufP, useExtractor = true)
+      IndexBuilder.build(docs, outDir,
+        IndexBuilder.Config(numBuckets = 32, blockSize = 128,
+          numGroups = sys.env.getOrElse("SPARK_GRAFT_DIAG_GROUPS","1").toInt,
+          saltTarget = math.max(2000L, nDocs / 20),
+          shufflePartitions = shufP),
+        buildId = "diag", lineage = pagesDir)
+      val secs = (System.nanoTime() - t0) / 1e9
+      docs.unpersist()
+      println(f"[diag cpus=$cpus shufP=$shufP docs=$nDocs rep=$r] " +
+        f"build=$secs%.1fs (${nDocs / secs}%.0f docs/sec)")
+    }
     spark.stop()
   }
 }

@@ -28,7 +28,7 @@ object EntryIndex {
         .sorted.mkString(",")
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|$sig".getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    s"/tmp/graft_entry_index/v4_$h" // v4: positional postings
+    s"/tmp/graft_entry_index/v5_$h" // v5: positional postings, df-free blocks
   }
 
   def ensure(spark: SparkSession, dir: String): String = synchronized {
@@ -43,8 +43,10 @@ object EntryIndex {
         .as[Doc]
       // saltTarget low enough that corpus-wide terms get salted even
       // at sf0.01 (500 docs) — the skew path stays exercised here.
+      // withPositions: the contract queries include engine-served
+      // phrase search.
       val cfg = IndexBuilder.Config(numBuckets = 8, blockSize = 64,
-        numGroups = 2, saltTarget = 300L)
+        numGroups = 2, saltTarget = 300L, withPositions = true)
       IndexBuilder.build(docs, idx, cfg,
         buildId = s"entry", resume = true,
         lineage = s"$dir/documents.parquet")
@@ -64,5 +66,15 @@ object EntryIndex {
       .select($"rank".cast("long").as("rank"), $"docId".as("doc_id"),
         round($"score", 4).as("score_r"))
       .orderBy("rank")
+  }
+
+  /** Engine-served phrase search (positional postings) → doc_id rows,
+    * ordered — semantics identical to the normalized-substring oracle.
+    */
+  def phraseDf(spark: SparkSession, dir: String, phrase: String): DataFrame = {
+    import spark.implicits._
+    val idx = ensure(spark, dir)
+    Searcher.phraseSearch(spark, Seq(idx), phrase, numRanges = 4)
+      .toDF("doc_id").orderBy("doc_id")
   }
 }

@@ -258,6 +258,12 @@ object SparkEntry {
             lit(" ")).as("norm"))
         .filter(col("norm").contains(" data join "))
         .select(col("doc_id")).orderBy("doc_id")),
+    "ft_phrase_engine" -> ((s, d) =>
+      // same phrase, served from the positional index: AND-intersect
+      // posting lists, verify token adjacency from stored positions —
+      // no corpus scan (ft_phrase above keeps the scan formulation as
+      // the SQL-expressible cross-check)
+      EntryIndex.phraseDf(s, d, "data join")),
     "agg_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -410,6 +416,9 @@ object SparkEntry {
     "sim_cosine_topk" -> OracleSql.cosineTopK(0L, 20),
     "sim_knn_join" -> OracleSql.knnJoin(10, 3),
     "ft_phrase" -> (s"SELECT doc_id FROM (SELECT doc_id, ' ' || " +
+      s"array_to_string(${OracleSql.toksExpr}, ' ') || ' ' AS norm " +
+      "FROM documents) WHERE norm LIKE '% data join %' ORDER BY doc_id"),
+    "ft_phrase_engine" -> (s"SELECT doc_id FROM (SELECT doc_id, ' ' || " +
       s"array_to_string(${OracleSql.toksExpr}, ' ') || ' ' AS norm " +
       "FROM documents) WHERE norm LIKE '% data join %' ORDER BY doc_id"),
     "agg_rollup" -> ("SELECT coalesce(l_returnflag,'ALL') AS rf, " +

@@ -78,6 +78,54 @@ object Codec {
     out.toByteArray
   }
 
+  /** Encode one posting's token-position list: varbyte count, then
+    * delta+varbyte positions (strictly increasing token indices).
+    */
+  def encodePositions(positions: Array[Int]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(positions.length + 2)
+    writeVLong(out, positions.length.toLong)
+    var prev = 0L
+    var i = 0
+    while (i < positions.length) {
+      writeVLong(out, positions(i).toLong - prev)
+      prev = positions(i).toLong
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode the position lists of `n` postings concatenated in
+    * `bytes` (the block layout): returns one sorted array per posting.
+    */
+  def decodePositionsBlock(bytes: Array[Byte], n: Int): Array[Array[Int]] = {
+    val out = new Array[Array[Int]](n)
+    var bi = 0
+    def readV(): Long = {
+      var v = 0L
+      var shift = 0
+      var b = bytes(bi)
+      bi += 1
+      while ((b & 0x80) != 0) {
+        v |= (b & 0x7fL) << shift
+        shift += 7
+        b = bytes(bi)
+        bi += 1
+      }
+      v | ((b & 0x7fL) << shift)
+    }
+    var i = 0
+    while (i < n) {
+      val c = readV().toInt
+      val ps = new Array[Int](c)
+      var prev = 0L
+      var j = 0
+      while (j < c) { prev += readV(); ps(j) = prev.toInt; j += 1 }
+      out(i) = ps
+      i += 1
+    }
+    out
+  }
+
   /** Inverse of [[encodeDeltas]]. */
   def decodeDeltas(bytes: Array[Byte], n: Int, base: Long): Array[Long] = {
     val gaps = decodeVarByte(bytes, n)

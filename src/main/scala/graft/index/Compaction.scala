@@ -76,26 +76,32 @@ object Compaction {
         val ds = Codec.decodeDeltas(b.docIdsEnc, b.n, b.firstDocId)
         val tfs = Codec.decodeVarByte(b.tfsEnc, b.n)
         val dls = Codec.decodeVarByte(b.dlsEnc, b.n)
+        val pos: Array[Array[Byte]] =
+          if (b.posEnc == null || b.posEnc.isEmpty) null
+          else Codec.decodePositionsBlock(b.posEnc, b.n)
+            .map(Codec.encodePositions)
         (0 until b.n).iterator.map(i =>
-          (b.term, ds(i), tfs(i).toInt, dls(i).toInt))
+          (b.term, ds(i), tfs(i).toInt, dls(i).toInt,
+            if (pos == null) Array.emptyByteArray else pos(i)))
       }
-      .toDF("term", "docId", "tf", "dl")
+      .toDF("term", "docId", "tf", "dl", "posEnc")
     val shift = 64 - java.lang.Integer.numberOfTrailingZeros(cfg.numBuckets)
     val bucketCol =
       if (cfg.numBuckets == 1) lit(0)
       else shiftrightunsigned(
         col("termHash").bitwiseXOR(lit(Long.MinValue)), shift).cast("int")
     val staged = decoded
-      .join(termsRead.select($"term", $"df", $"saltCount"), Seq("term"))
+      .join(broadcast(termsRead.filter($"saltCount" > 1)
+        .select($"term", $"saltCount")), Seq("term"), "left")
       .withColumn("skey",
-        when($"saltCount" > 1,
+        when($"saltCount".isNotNull && $"saltCount" > 1,
           concat($"term", lit("#"),
             pmod(xxhash64($"docId"), $"saltCount".cast("long"))))
           .otherwise($"term"))
       .withColumn("termHash", xxhash64($"skey"))
       .withColumn("bucket", bucketCol)
-      .select($"bucket", $"termHash", $"skey", $"term", $"df",
-        $"docId", $"tf", $"dl")
+      .select($"bucket", $"termHash", $"skey", $"term",
+        $"docId", $"tf", $"dl", $"posEnc")
       .as[StagedPosting]
     IndexBuilder.encodeSegments(staged, stats, cfg)
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")

@@ -74,9 +74,9 @@ object DocIds {
       .sortWithinPartitions("url")
       .as[String]
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = urlsSorted
+    val counts = IndexBuilder.timed("docids-rank")(urlsSorted
       .mapPartitions(it => Iterator.single(it.size))(Encoders.scalaInt)
-      .collect()
+      .collect())
     val offsets = counts.scanLeft(offset)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
     val ids = urlsSorted.mapPartitions { it =>

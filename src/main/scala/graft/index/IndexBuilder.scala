@@ -32,6 +32,22 @@ import graft.query.BM25
   */
 object IndexBuilder {
 
+  /** Stage-timing diagnostics to stderr when SPARK_GRAFT_BUILD_TIMING
+    * is set — the tool that located the serial fractions behind the
+    * N→4N scaling gap (stderr so bench stdout JSON stays clean).
+    */
+  private val timing = sys.env.contains("SPARK_GRAFT_BUILD_TIMING")
+  private[graft] def timed[T](name: String)(f: => T): T = {
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[build-timing] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+  }
+
   /** @param numBuckets   term-hash-range segment partitions at rest
     * @param blockSize    postings per compressed block
     * @param numGroups    checkpoint units for the segments stage
@@ -42,6 +58,10 @@ object IndexBuilder {
   case class Config(numBuckets: Int = 32, blockSize: Int = 128,
                     numGroups: Int = 4, saltTarget: Long = 250000L,
                     shufflePartitions: Int = 0,
+                    /** store token positions per posting (the
+                      * positional tier phrase queries need; ~1-2
+                      * bytes/token extra at rest) */
+                    withPositions: Boolean = false,
                     /** test-only: throw after committing this group,
                       * simulating a mid-build crash (FIXTURES.md §6) */
                     failAfterGroup: Int = -1)
@@ -85,6 +105,21 @@ object IndexBuilder {
     else ((termHash ^ Long.MinValue) >>> shift).toInt
   }
 
+  /** Column form of [[bucketOf]]: analytic range-partition id from the
+    * top log2(parts) bits of a uniform 64-bit hash. Used in place of
+    * `repartitionByRange`, whose range sampling costs one extra Spark
+    * job per use — splits of a uniform hash need no sampling.
+    */
+  def rangePid(hashCol: org.apache.spark.sql.Column, parts: Int)
+      : org.apache.spark.sql.Column = {
+    require((parts & (parts - 1)) == 0 && parts > 0,
+      s"parts must be a power of 2, got $parts")
+    val shift = 64 - java.lang.Integer.numberOfTrailingZeros(parts)
+    if (shift == 64) lit(0)
+    else shiftrightunsigned(hashCol.bitwiseXOR(lit(Long.MinValue)), shift)
+      .cast("int")
+  }
+
   // ---------------------------------------------------------------- build
 
   /** Full build. Returns global stats. Resumable: completed stages /
@@ -114,30 +149,63 @@ object IndexBuilder {
       // term) formulation shuffles+hash-aggregates |tokens| rows
       // (~10^14 at the 10^12-doc scale) for something each task can do
       // locally.
+      val withPos = cfg.withPositions
       val tf = docs
         .mapPartitions { it =>
+          val empty = Array.emptyByteArray
           it.flatMap { d =>
             val toks = Tokenize.tokens(d.text)
             val dl = toks.length
-            val m = new java.util.HashMap[String, Int](
-              math.max(16, dl * 2))
-            var i = 0
-            while (i < toks.length) {
-              m.merge(toks(i), 1, (a, b) => a + b)
-              i += 1
+            if (withPos) {
+              // positions per term, encoded in-task: the shuffle
+              // carries compressed bytes, never int arrays
+              val m = new java.util.HashMap[String,
+                scala.collection.mutable.ArrayBuilder.ofInt](
+                math.max(16, dl * 2))
+              var i = 0
+              while (i < toks.length) {
+                var bld = m.get(toks(i))
+                if (bld == null) {
+                  bld = new scala.collection.mutable.ArrayBuilder.ofInt
+                  m.put(toks(i), bld)
+                }
+                bld += i
+                i += 1
+              }
+              val out = new Array[(Long, Int, String, Int, Array[Byte])](
+                m.size)
+              val eit = m.entrySet().iterator()
+              var j = 0
+              while (eit.hasNext) {
+                val e = eit.next()
+                val ps = e.getValue.result()
+                out(j) = (d.docId, dl, e.getKey, ps.length,
+                  Codec.encodePositions(ps))
+                j += 1
+              }
+              out.iterator
+            } else {
+              val m = new java.util.HashMap[String, Int](
+                math.max(16, dl * 2))
+              var i = 0
+              while (i < toks.length) {
+                m.merge(toks(i), 1, (a, b) => a + b)
+                i += 1
+              }
+              val out = new Array[(Long, Int, String, Int, Array[Byte])](
+                m.size)
+              val eit = m.entrySet().iterator()
+              var j = 0
+              while (eit.hasNext) {
+                val e = eit.next()
+                out(j) = (d.docId, dl, e.getKey, e.getValue, empty)
+                j += 1
+              }
+              out.iterator
             }
-            val out = new Array[(Long, Int, String, Int)](m.size)
-            val eit = m.entrySet().iterator()
-            var j = 0
-            while (eit.hasNext) {
-              val e = eit.next()
-              out(j) = (d.docId, dl, e.getKey, e.getValue)
-              j += 1
-            }
-            out.iterator
           }
         }
-        .toDF("docId", "dl", "term", "tf")
+        .toDF("docId", "dl", "term", "tf", "posEnc")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // docs meta: dl from tf (zero-token docs kept via left join —
@@ -154,7 +222,7 @@ object IndexBuilder {
       // Fill the tf cache first (the docs-meta and terms jobs below
       // run CONCURRENTLY from driver threads and must not both race to
       // compute it).
-      tf.count()
+      timed("tf-cache-fill")(tf.count())
       val obsDocs = new org.apache.spark.sql.Observation()
       val docsJob = scala.concurrent.Future {
         docMeta.repartitionByRange(math.max(1, shufP / 2), $"docId")
@@ -185,16 +253,71 @@ object IndexBuilder {
         .select($"term", $"termHash", $"df", $"cf", $"saltCount",
           $"maxTf", $"minDl")
         .as[TermMeta]
+      // Analytic range partition on termHash (top bits): termHash is
+      // uniform, so explicit splits replace repartitionByRange's
+      // sampling JOB — one fewer job per build, and each task still
+      // owns 1-2 contiguous hash ranges (sorted files → row-group
+      // pruning for dictionary lookups). The write runs CONCURRENTLY
+      // with the staged-postings job below (both read the cached tf);
+      // its serial tail was a measured N→4N scaling tax.
+      val termsParts = math.max(1,
+        Integer.highestOneBit(math.max(1, shufP / 4)))
       val obsTerms = new org.apache.spark.sql.Observation()
-      terms.repartitionByRange(math.max(1, shufP / 4), $"termHash")
-        .sortWithinPartitions("termHash")
-        .observe(obsTerms, count(lit(1)).as("n"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
-      val termsRead = spark.read.parquet(s"$outDir/terms")
+      val termsJob = scala.concurrent.Future {
+        timed("terms-write")(
+          terms.repartition(termsParts,
+              rangePid(col("termHash"), termsParts))
+            .sortWithinPartitions("termHash")
+            .observe(obsTerms, count(lit(1)).as("n"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms"))
+      }(scala.concurrent.ExecutionContext.global)
+
+      // Salt: hot-term postings are scattered across sub-run keys by a
+      // hash of docId, so the merge shuffle sees bounded runs. The join
+      // broadcasts ONLY the salted subset (df > saltTarget — the
+      // stopword tail, bounded at ANY corpus size); unsalted terms
+      // default to saltCount=1 through the left join, so the full
+      // dictionary — unbroadcastable at 10^9 terms — never joins the
+      // posting stream at all. Everything below is COLUMN expressions
+      // (whole-stage codegen); a typed map here measured ~5x slower on
+      // the 16M-posting path.
+      val salted = termDf.filter($"saltCount" > 1)
+        .select($"term", $"saltCount")
+      val shift = 64 - java.lang.Integer.numberOfTrailingZeros(cfg.numBuckets)
+      val bucketCol =
+        if (cfg.numBuckets == 1) lit(0)
+        else shiftrightunsigned(
+          col("termHash").bitwiseXOR(lit(Long.MinValue)), shift).cast("int")
+      val staged = tf
+        .join(broadcast(salted), Seq("term"), "left")
+        .withColumn("skey",
+          when($"saltCount".isNotNull && $"saltCount" > 1,
+            concat($"term", lit("#"),
+              pmod(xxhash64($"docId"), $"saltCount".cast("long"))))
+            .otherwise($"term"))
+        .withColumn("termHash", xxhash64($"skey"))
+        .withColumn("bucket", bucketCol)
+        .select($"bucket", $"termHash", $"skey", $"term",
+          $"docId", $"tf", $"dl", $"posEnc")
+        .as[StagedPosting]
+      // Hash-partition the staging write ON BUCKET: each bucket lands
+      // wholly in one task (1-2 dirs per task, bounded files) with NO
+      // range-sampling pass — the encode stage re-sorts anyway, so a
+      // global order here would be wasted work.
+      val obsStaged = new org.apache.spark.sql.Observation()
+      timed("staged-write")(staged
+        .repartition(math.min(shufP, cfg.numBuckets), $"bucket")
+        .observe(obsStaged, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$outDir/postings_staged"))
+
+      // join the concurrent docs-meta + terms jobs; derive global stats
+      timed("docs-job-wait")(scala.concurrent.Await.result(docsJob,
+        scala.concurrent.duration.Duration.Inf))
+      timed("terms-job-wait")(scala.concurrent.Await.result(termsJob,
+        scala.concurrent.duration.Duration.Inf))
+      tf.unpersist()
       val numTerms = obsTerms.get("n").asInstanceOf[Long]
-      // join the concurrent docs-meta job; derive global stats
-      scala.concurrent.Await.result(docsJob,
-        scala.concurrent.duration.Duration.Inf)
       val n = obsDocs.get("n").asInstanceOf[Long]
       val totalToks =
         if (n == 0) 0L else obsDocs.get("toks").asInstanceOf[Long]
@@ -209,40 +332,6 @@ object IndexBuilder {
       ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
         IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,
         System.currentTimeMillis()))
-
-      // Salt: hot-term postings are scattered across sub-run keys by a
-      // hash of docId, so the merge shuffle sees bounded runs. The term
-      // dictionary is small relative to postings — AQE broadcasts it.
-      // Everything below is COLUMN expressions (whole-stage codegen);
-      // a typed map here measured ~5x slower on the 16M-posting path.
-      val shift = 64 - java.lang.Integer.numberOfTrailingZeros(cfg.numBuckets)
-      val bucketCol =
-        if (cfg.numBuckets == 1) lit(0)
-        else shiftrightunsigned(
-          col("termHash").bitwiseXOR(lit(Long.MinValue)), shift).cast("int")
-      val staged = tf
-        .join(termsRead.select($"term", $"df", $"saltCount"), Seq("term"))
-        .withColumn("skey",
-          when($"saltCount" > 1,
-            concat($"term", lit("#"),
-              pmod(xxhash64($"docId"), $"saltCount".cast("long"))))
-            .otherwise($"term"))
-        .withColumn("termHash", xxhash64($"skey"))
-        .withColumn("bucket", bucketCol)
-        .select($"bucket", $"termHash", $"skey", $"term", $"df",
-          $"docId", $"tf", $"dl")
-        .as[StagedPosting]
-      // Hash-partition the staging write ON BUCKET: each bucket lands
-      // wholly in one task (1-2 dirs per task, bounded files) with NO
-      // range-sampling pass — the encode stage re-sorts anyway, so a
-      // global order here would be wasted work.
-      val obsStaged = new org.apache.spark.sql.Observation()
-      staged
-        .repartition(math.min(shufP, cfg.numBuckets), $"bucket")
-        .observe(obsStaged, count(lit(1)).as("n"))
-        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-        .parquet(s"$outDir/postings_staged")
-      tf.unpersist()
       ckpt.commit(Checkpoint(buildId, "postings", 0, "COMPLETE",
         obsStaged.get("n").asInstanceOf[Long],
         IndexPaths.dirBytes(spark, s"$outDir/postings_staged"), lineage,
@@ -267,9 +356,10 @@ object IndexBuilder {
           .as[StagedPosting]
         val blocks = encodeSegments(staged, statsNow, cfg)
         val obsBlocks = new org.apache.spark.sql.Observation()
-        blocks.observe(obsBlocks, count(lit(1)).as("n"))
-          .write.mode(SaveMode.Append).partitionBy("bucket")
-          .parquet(s"$outDir/segments")
+        timed(s"segments-write-g$g")(
+          blocks.observe(obsBlocks, count(lit(1)).as("n"))
+            .write.mode(SaveMode.Append).partitionBy("bucket")
+            .parquet(s"$outDir/segments"))
         val nBlocks = obsBlocks.get("n").asInstanceOf[Long]
         val bytes = (lo until hi).map(b =>
           IndexPaths.dirBytes(spark, s"$outDir/segments/bucket=$b")).sum
@@ -295,13 +385,20 @@ object IndexBuilder {
       if (cfg.shufflePartitions > 0) cfg.shufflePartitions
       else spark.sessionState.conf.numShufflePartitions
     val blockSize = cfg.blockSize
-    // Range-partition on (termHash, skey) ONLY — never docId: equal
-    // keys land in one partition, so a storage key's whole run is
-    // encoded by one task and block boundaries are a pure function of
-    // the run (deterministic across runs/parallelism — ResumeSpec).
-    // Run length per key is already bounded by salting.
+    // Partition on termHash ONLY — never docId: equal keys land in one
+    // partition, so a storage key's whole run is encoded by one task
+    // and block boundaries are a pure function of the run
+    // (deterministic across runs/parallelism — ResumeSpec). Run length
+    // per key is already bounded by salting. The partition id is an
+    // ANALYTIC range split (top hash bits, 4× oversplit hashed onto
+    // shufP tasks): termHash is uniform, so this replaces
+    // repartitionByRange's sampling job — which re-reads the staged
+    // input once per build — while each task still covers ~4
+    // contiguous hash ranges, keeping the task→bucket-dir fan-out
+    // bounded (the output-commit property a mod-hash layout broke).
     staged
-      .repartitionByRange(shufP, $"termHash", $"skey")
+      .repartition(shufP, rangePid($"termHash",
+        Integer.highestOneBit(math.max(1, 4 * shufP))))
       .sortWithinPartitions("termHash", "skey", "docId")
       .mapPartitions { it =>
         new Iterator[SegmentBlock] {
@@ -311,6 +408,8 @@ object IndexBuilder {
           private val dBuf = new Array[Long](blockSize)
           private val tBuf = new Array[Long](blockSize)
           private val lBuf = new Array[Long](blockSize)
+          private val pBuf = new java.io.ByteArrayOutputStream()
+          private var pAny = false
           private var pending: SegmentBlock = _
 
           private def fill(): Unit = {
@@ -323,11 +422,16 @@ object IndexBuilder {
               var maxTf = 0
               var minDl = Int.MaxValue
               var last = 0L
+              pBuf.reset(); pAny = false
               while (m < blockSize && cur != null &&
                      cur.termHash == head.termHash && cur.skey == head.skey) {
                 dBuf(m) = cur.docId
                 tBuf(m) = cur.tf.toLong
                 lBuf(m) = cur.dl.toLong
+                if (cur.posEnc != null && cur.posEnc.length > 0) {
+                  pBuf.write(cur.posEnc, 0, cur.posEnc.length)
+                  pAny = true
+                }
                 if (cur.tf > maxTf) maxTf = cur.tf
                 if (cur.dl < minDl) minDl = cur.dl
                 last = cur.docId
@@ -337,11 +441,12 @@ object IndexBuilder {
               val first = dBuf(0)
               pending = SegmentBlock(
                 bucketOf(head.termHash, stats.numBuckets), head.termHash,
-                head.skey, head.term, head.df, blockId, m, first, last,
+                head.skey, head.term, blockId, m, first, last,
                 maxTf, minDl,
                 Codec.encodeDeltas(java.util.Arrays.copyOf(dBuf, m), first),
                 Codec.encodeVarByte(java.util.Arrays.copyOf(tBuf, m)),
-                Codec.encodeVarByte(java.util.Arrays.copyOf(lBuf, m)))
+                Codec.encodeVarByte(java.util.Arrays.copyOf(lBuf, m)),
+                if (pAny) pBuf.toByteArray else Array.emptyByteArray)
               blockId += 1
             }
           }

@@ -15,16 +15,21 @@ case class DocMeta(docId: Long, url: String, dl: Int)
 
 /** A staged posting after tokenize+tf, salted and bucketed, ready for
   * the merge-by-term range shuffle. `skey` is the storage key (term or
-  * salted term), `termHash` hashes `skey`, `df` is the document
-  * frequency of the UNSALTED term (for idf).
+  * salted term), `termHash` hashes `skey`. df lives ONLY in the term
+  * dictionary — carrying it per posting paid ~8 bytes × |postings| of
+  * shuffle for a value the serve path reads from TermMeta anyway.
   */
 case class StagedPosting(bucket: Int, termHash: Long, skey: String,
-                         term: String, df: Long, docId: Long, tf: Int,
-                         dl: Int)
+                         term: String, docId: Long, tf: Int,
+                         dl: Int, posEnc: Array[Byte])
 
 /** One compressed posting block: up to `blockSize` postings of one
   * storage key, sorted by docId; docIds delta+varbyte encoded against
-  * `firstDocId`, tfs and dls varbyte. `maxTf`/`minDl` give the exact
+  * `firstDocId`, tfs and dls varbyte. `posEnc` (build flag
+  * `withPositions`) concatenates per-posting token-position lists
+  * ([count][delta positions], varbyte) in posting order — the
+  * positional tier that serves phrase queries from the index; empty
+  * when the build ran without positions. `maxTf`/`minDl` give the exact
   * block-max BM25 bound — BM25 is monotone increasing in tf and
   * decreasing in dl, so score(maxTf, minDl | CURRENT stats) bounds
   * every posting in the block. Storing the bound's INGREDIENTS rather
@@ -37,10 +42,11 @@ case class StagedPosting(bucket: Int, termHash: Long, skey: String,
   * done losslessly: metadata that lets the reader skip work.
   */
 case class SegmentBlock(bucket: Int, termHash: Long, skey: String,
-                        term: String, df: Long, blockId: Int, n: Int,
+                        term: String, blockId: Int, n: Int,
                         firstDocId: Long, lastDocId: Long,
                         maxTf: Int, minDl: Int, docIdsEnc: Array[Byte],
-                        tfsEnc: Array[Byte], dlsEnc: Array[Byte])
+                        tfsEnc: Array[Byte], dlsEnc: Array[Byte],
+                        posEnc: Array[Byte])
 
 /** Global index statistics (the `stats.json` sidecar). `totalTokens`
   * makes stats exactly combinable across index generations:

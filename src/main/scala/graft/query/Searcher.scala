@@ -380,6 +380,99 @@ object Searcher {
     spark.createDataset(merged)
   }
 
+  /** Engine-backed phrase search: posting-list AND-intersection plus
+    * token-position adjacency verify, served from the positional tier
+    * (an index built with `withPositions`). Returns ALL matching
+    * docIds. Matches the substring-over-normalized-tokens semantics
+    * (" w1 w2 ... " in the space-joined token stream) exactly —
+    * positions ARE token indices. At web scale this is the difference
+    * between a per-query full-corpus scan and touching only the
+    * phrase terms' posting blocks (same scatter pruning as search:
+    * bucket partition + termHash row groups + docId-range windows).
+    */
+  def phraseSearch(spark: SparkSession, indexDirs: Seq[String],
+                   phrase: String, numRanges: Int = 8): Seq[Long] = {
+    import spark.implicits._
+    val slots = Tokenize.tokens(phrase).toSeq // order + duplicates kept
+    if (slots.isEmpty) return Seq.empty
+    val distinctTerms = slots.distinct
+    val statsList = indexDirs.map(d => IndexPaths.readStats(spark, d))
+    val maxDoc = statsList.map(_.maxDocId).max + 1
+    // pruned dictionary lookups per generation (cache shared with
+    // the BM25 path)
+    val metaPerIndex: Seq[Map[String, TermMeta]] = indexDirs.map { d =>
+      val cache = Searcher.termCacheFor(d)
+      val missing = distinctTerms.filterNot(cache.containsKey)
+      if (missing.nonEmpty) {
+        val missingHashes = missing.map(IndexBuilder.xxhash)
+        val fetched = spark.read.parquet(s"$d/terms")
+          .filter($"termHash".isin(missingHashes: _*))
+          .as[TermMeta].collect()
+          .filter(t => missing.contains(t.term))
+          .map(t => t.term -> t).toMap
+        missing.foreach(t => cache.put(t, fetched.get(t)))
+      }
+      distinctTerms.flatMap(t =>
+        Option(cache.get(t)).flatten.map(t -> _)).toMap
+    }
+    // every phrase term must exist in at least one generation
+    if (distinctTerms.exists(t => metaPerIndex.forall(!_.contains(t))))
+      return Seq.empty
+    val tIdx: Map[String, Int] = distinctTerms.zipWithIndex.toMap
+    // storage keys → distinct-term index (merged across generations)
+    val keyUses: Map[String, Int] = metaPerIndex.flatMap { metas =>
+      metas.toSeq.flatMap { case (term, tm) =>
+        val keys =
+          if (tm.saltCount > 1)
+            (0 until tm.saltCount).map(s => IndexBuilder.saltKey(term, s))
+          else Seq(term)
+        keys.map(_ -> tIdx(term))
+      }
+    }.toMap
+    val bcUses = spark.sparkContext.broadcast(keyUses)
+    val ranges = math.max(1, numRanges)
+    def rangeOf(docId: Long): Int =
+      math.min(ranges - 1, (docId * ranges / math.max(1L, maxDoc)).toInt)
+    val blocks = indexDirs.zip(statsList).map { case (d, st) =>
+      val hs = metaPerIndex(indexDirs.indexOf(d)).toSeq.flatMap {
+        case (term, tm) =>
+          val keys =
+            if (tm.saltCount > 1)
+              (0 until tm.saltCount).map(s => IndexBuilder.saltKey(term, s))
+            else Seq(term)
+          keys.map(IndexBuilder.xxhash)
+      }
+      val bks = hs.map(h => IndexBuilder.bucketOf(h, st.numBuckets)).distinct
+      spark.read.parquet(s"$d/segments")
+        .filter($"bucket".isin(bks: _*) && $"termHash".isin(hs: _*))
+        .as[SegmentBlock]
+    }.reduce(_ union _)
+    val slotIdxs = slots.map(tIdx).toArray
+    val nDistinct = distinctTerms.size
+    val matched = blocks.flatMap { b =>
+      bcUses.value.get(b.skey).iterator.flatMap { ti =>
+        (rangeOf(b.firstDocId) to rangeOf(b.lastDocId)).iterator
+          .map(r => (r, ti, b))
+      }
+    }
+      .groupByKey(_._1)
+      .flatMapGroups { (r: Int, it: Iterator[(Int, Int, SegmentBlock)]) =>
+        val lo = (r.toLong * maxDoc + ranges - 1) / ranges
+        val hi = if (r == ranges - 1) Long.MaxValue
+                 else ((r.toLong + 1) * maxDoc + ranges - 1) / ranges
+        val bySkey = it.toSeq.groupBy(x => (x._2, x._3.skey))
+        val byTerm = Array.fill(nDistinct)(
+          scala.collection.mutable.ArrayBuffer.empty[Cursor])
+        bySkey.foreach { case ((ti, _), rows) =>
+          val bs = rows.map(_._3).sortBy(_.firstDocId).toArray
+          byTerm(ti) += new Cursor(ti, 0.0, bs, 1.0, lo, hi)
+        }
+        val slotGroups = slotIdxs.map(ti => byTerm(ti).toArray)
+        Wand.phraseDocs(slotGroups).iterator
+      }
+    matched.collect().sorted.toSeq
+  }
+
   /** Back-join urls for a (small) hit set — docs table is range-sorted
     * by docId so the `isin` filter prunes row groups; the join itself
     * broadcasts the hits.

@@ -46,12 +46,29 @@ final class Cursor(val termIdx: Int, val idf: Double,
   def blockLast: Long =
     if (bi < blocks.length) blocks(bi).lastDocId else Long.MaxValue
 
+  private var poss: Array[Array[Int]] = _
+
   private def decode(): Unit = {
     val b = blocks(bi)
     docs = Codec.decodeDeltas(b.docIdsEnc, b.n, b.firstDocId)
     tfs = Codec.decodeVarByte(b.tfsEnc, b.n)
     dls = Codec.decodeVarByte(b.dlsEnc, b.n)
+    poss = null // positions decode lazily — only phrase queries pay
     pi = 0
+  }
+
+  /** Token positions of the current posting (requires an index built
+    * with `withPositions`; empty otherwise).
+    */
+  def positions: Array[Int] = {
+    if (poss == null) {
+      val b = blocks(bi)
+      poss =
+        if (b.posEnc == null || b.posEnc.isEmpty)
+          Array.fill(b.n)(Array.empty[Int])
+        else Codec.decodePositionsBlock(b.posEnc, b.n)
+    }
+    poss(pi)
   }
 
   /** Move block pointer (metadata only) to the first block whose
@@ -275,6 +292,80 @@ object Wand {
       cursors = cursors.filterNot(_.exhausted)
     }
     heap.result()
+  }
+
+  /** Intersect sorted int array `a` with (`b` − `off`): the phrase
+    * step — a candidate start position p survives slot k iff p + k is
+    * a position of slot k's term.
+    */
+  private def intersectShift(a: Array[Int], b: Array[Int],
+                             off: Int): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val bv = b(j) - off
+      if (a(i) == bv) { out += a(i); i += 1; j += 1 }
+      else if (a(i) < bv) i += 1
+      else j += 1
+    }
+    out.result()
+  }
+
+  /** Phrase matching: `slotGroups(k)` holds the cursors (salt
+    * sub-runs, possibly across index generations) of the term at
+    * phrase slot k — duplicated term objects for repeated words. A doc
+    * matches iff some position p has slot k's term at p + k for every
+    * k. Intersection gallops on slot 0's postings; positions decode
+    * only for docs that already matched every slot (AND first, verify
+    * second — the candidate set a full scan would never shrink).
+    */
+  def phraseDocs(slotGroups: Array[Array[Cursor]]): Array[Long] = {
+    if (slotGroups.isEmpty ||
+        slotGroups.exists(g => g.isEmpty || g.forall(_.exhausted)))
+      return Array.empty
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    val drv = slotGroups(0)
+    val hits = new Array[Cursor](slotGroups.length)
+    def drvMin: Long = {
+      var m = Long.MaxValue
+      drv.foreach(c => if (!c.exhausted && c.curDoc < m) m = c.curDoc)
+      m
+    }
+    var cand = drvMin
+    while (cand != Long.MaxValue) {
+      var ok = true
+      var k = 0
+      while (ok && k < slotGroups.length) {
+        val g = slotGroups(k)
+        var hit: Cursor = null
+        var ci = 0
+        while (hit == null && ci < g.length) {
+          val c = g(ci)
+          if (!c.exhausted) {
+            c.advanceTo(cand)
+            if (c.curDoc == cand) hit = c
+          }
+          ci += 1
+        }
+        if (hit == null) ok = false else hits(k) = hit
+        k += 1
+      }
+      if (ok) {
+        // position verify
+        var p = hits(0).positions
+        var k2 = 1
+        while (p.nonEmpty && k2 < slotGroups.length) {
+          p = intersectShift(p, hits(k2).positions, k2)
+          k2 += 1
+        }
+        if (p.nonEmpty) out += cand
+      }
+      drv.foreach(c =>
+        if (!c.exhausted && c.curDoc <= cand) c.advanceTo(cand + 1))
+      cand = drvMin
+    }
+    out.result()
   }
 
   /** Conjunctive (AND) top-k: a doc qualifies only if every term group

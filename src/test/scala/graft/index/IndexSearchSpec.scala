@@ -125,6 +125,41 @@ class IndexSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("engine phrase search == corpus substring scan (positional tier)") {
+    val dir = SparkTestSession.tmpDir("graft_idx_pos")
+    val n = 400L
+    val docs = DocIds.fromPages(
+      PagesGen.pages(spark, n, partitions = 5), 5, useExtractor = true)
+    IndexBuilder.build(docs, dir,
+      IndexBuilder.Config(numBuckets = 8, blockSize = 16, numGroups = 2,
+        saltTarget = 200L, shufflePartitions = 8, withPositions = true),
+      buildId = "pos")
+    val byUrl = (0L until n).map(i => PagesGen.row(42L, i))
+      .map(p => (p.url, p.text)).sortBy(_._1).zipWithIndex
+      .map { case ((_, t), r) => (r.toLong, t) }
+    def naive(phrase: String): Seq[Long] = {
+      val needle = " " + graft.functions.Tokenize.tokens(phrase)
+        .mkString(" ") + " "
+      byUrl.filter { case (_, t) =>
+        (" " + graft.functions.Tokenize.tokens(t).mkString(" ") + " ")
+          .contains(needle)
+      }.map(_._1)
+    }
+    // pick phrases that occur, plus one that cannot
+    val corpus = byUrl.map(_._2)
+    val samplePhrases = corpus.take(20).flatMap { t =>
+      val ts = graft.functions.Tokenize.tokens(t)
+      if (ts.length >= 5) Some(s"${ts(2)} ${ts(3)} ${ts(4)}") else None
+    }.distinct.take(6) ++ Seq("the the the zzzznope")
+    samplePhrases.foreach { ph =>
+      val got = Searcher.phraseSearch(spark, Seq(dir), ph, numRanges = 5)
+      val want = naive(ph)
+      assert(got == want, s"phrase '$ph': engine=$got scan=$want")
+      if (!ph.contains("zzzznope"))
+        assert(want.nonEmpty, s"test phrase '$ph' should occur somewhere")
+    }
+  }
+
   test("url back-join resolves every hit") {
     val hits = Searcher.search(spark, indexDir,
       QuerySet.queries().take(5), 10, Searcher.Or, 4)

@@ -15,24 +15,24 @@ class WandSpec extends AnyFunSuite {
   val avgdl = 100.0
 
   private def mkBlocks(skey: String, postings: Seq[(Long, Int, Int)],
-                       df: Long, n: Long,
                        blockSize: Int): Array[SegmentBlock] = {
     postings.sortBy(_._1).grouped(blockSize).zipWithIndex.map {
       case (chunk, bi) =>
         val ds = chunk.map(_._1).toArray
         val tfs = chunk.map(_._2.toLong).toArray
         val dls = chunk.map(_._3.toLong).toArray
-        SegmentBlock(0, 0L, skey, skey, df, bi, ds.length, ds.head,
+        SegmentBlock(0, 0L, skey, skey, bi, ds.length, ds.head,
           ds.last, chunk.map(_._2).max, chunk.map(_._3).min,
           Codec.encodeDeltas(ds, ds.head),
-          Codec.encodeVarByte(tfs), Codec.encodeVarByte(dls))
+          Codec.encodeVarByte(tfs), Codec.encodeVarByte(dls),
+          Array.emptyByteArray)
     }.toArray
   }
 
   private def mkCursor(termIdx: Int, blocks: Array[SegmentBlock],
-                       n: Long, lo: Long = 0L,
+                       n: Long, df: Long, lo: Long = 0L,
                        hi: Long = Long.MaxValue): Cursor = {
-    val idf = BM25.idf(n, blocks.head.df)
+    val idf = BM25.idf(n, df)
     new Cursor(termIdx, idf, blocks, avgdl, lo, hi)
   }
 
@@ -54,10 +54,10 @@ class WandSpec extends AnyFunSuite {
         val count = 1 + rnd.nextInt(300)
         val postings = randPostings(rnd, 2000L, count)
         val df = postings.size.toLong
-        (mkBlocks(s"t$t", postings, df, n, blockSize), t)
+        (mkBlocks(s"t$t", postings, blockSize), t, df)
       }
-      def cursors() = cursorSets.map { case (bs, t) =>
-        mkCursor(t, bs, n)
+      def cursors() = cursorSets.map { case (bs, t, df) =>
+        mkCursor(t, bs, n, df)
       }.toArray
       val a = Wand.exhaustiveOr(cursors(), k)
       val b = Wand.wandOr(cursors(), k)
@@ -73,9 +73,10 @@ class WandSpec extends AnyFunSuite {
       val k = 1 + rnd.nextInt(10)
       val sets = (0 until numTerms).map { t =>
         val ps = randPostings(rnd, 1500L, 1 + rnd.nextInt(250))
-        (mkBlocks(s"t$t", ps, ps.size.toLong, n, 1 + rnd.nextInt(12)), t)
+        (mkBlocks(s"t$t", ps, 1 + rnd.nextInt(12)), t, ps.size.toLong)
       }
-      def cursors() = sets.map { case (bs, t) => mkCursor(t, bs, n) }.toArray
+      def cursors() = sets.map { case (bs, t, df) =>
+        mkCursor(t, bs, n, df) }.toArray
       val want = Wand.exhaustiveOr(cursors(), k)
       if (want.nonEmpty) {
         // the hardest floor that is still a valid lower bound on the
@@ -92,10 +93,11 @@ class WandSpec extends AnyFunSuite {
     val n = 5000L
     (0 until 30).foreach { trial =>
       val postings = randPostings(rnd, 1000L, 200)
-      val blocks = mkBlocks("t0", postings, postings.size.toLong, n, 8)
+      val blocks = mkBlocks("t0", postings, 8)
       val lo = rnd.nextInt(500).toLong
       val hi = lo + 1 + rnd.nextInt(500)
-      val got = Wand.wandOr(Array(mkCursor(0, blocks, n, lo, hi)), 50)
+      val got = Wand.wandOr(
+        Array(mkCursor(0, blocks, n, postings.size.toLong, lo, hi)), 50)
       val want = postings.filter(p => p._1 >= lo && p._1 < hi)
         .map { case (d, tf, dl) =>
           (d, BM25.score(tf.toLong, dl.toLong, avgdl,
@@ -117,7 +119,7 @@ class WandSpec extends AnyFunSuite {
       }
       val groups = lists.zipWithIndex.sortBy(_._1.size).map {
         case (ps, t) =>
-          Array(mkCursor(t, mkBlocks(s"t$t", ps, ps.size.toLong, n, 7), n))
+          Array(mkCursor(t, mkBlocks(s"t$t", ps, 7), n, ps.size.toLong))
       }.toArray
       val got = Wand.intersectAnd(groups, k)
       // naive
@@ -135,19 +137,67 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("phraseDocs == naive substring over token streams") {
+    val rnd = new Random(2024)
+    // random docs over a tiny vocabulary so phrases repeat
+    val vocab = Vector("a", "b", "c", "d", "e")
+    (0 until 25).foreach { trial =>
+      val nDocs = 30 + rnd.nextInt(40)
+      val docs: Map[Long, Vector[String]] = (0 until nDocs).map { d =>
+        d.toLong -> Vector.fill(3 + rnd.nextInt(40))(
+          vocab(rnd.nextInt(vocab.size)))
+      }.toMap
+      val phraseLen = 2 + rnd.nextInt(3)
+      val phrase = Vector.fill(phraseLen)(vocab(rnd.nextInt(vocab.size)))
+      // per-term positional blocks
+      def blocksFor(term: String, blockSize: Int): Array[SegmentBlock] = {
+        val postings = docs.toSeq
+          .map { case (d, ts) =>
+            (d, ts.zipWithIndex.filter(_._1 == term).map(_._2).toArray)
+          }
+          .filter(_._2.nonEmpty).sortBy(_._1)
+        postings.grouped(blockSize).zipWithIndex.map { case (chunk, bi) =>
+          val ds = chunk.map(_._1).toArray
+          val tfs = chunk.map(_._2.length.toLong).toArray
+          val dls = chunk.map(x => docs(x._1).size.toLong).toArray
+          val pos = new java.io.ByteArrayOutputStream()
+          chunk.foreach(c => pos.write(Codec.encodePositions(c._2)))
+          SegmentBlock(0, 0L, term, term, bi, ds.length, ds.head,
+            ds.last, tfs.max.toInt, dls.min.toInt,
+            Codec.encodeDeltas(ds, ds.head),
+            Codec.encodeVarByte(tfs), Codec.encodeVarByte(dls),
+            pos.toByteArray)
+        }.toArray
+      }
+      val bs = 1 + rnd.nextInt(8)
+      val groups = phrase.map { t =>
+        val blks = blocksFor(t, bs)
+        if (blks.isEmpty) Array.empty[Cursor]
+        else Array(new Cursor(0, 0.0, blks, avgdl, 0L, Long.MaxValue))
+      }.toArray
+      val got = Wand.phraseDocs(groups).toSeq.sorted
+      val needle = " " + phrase.mkString(" ") + " "
+      val want = docs.toSeq.filter { case (_, ts) =>
+        (" " + ts.mkString(" ") + " ").contains(needle)
+      }.map(_._1).sorted
+      assert(got == want,
+        s"trial $trial phrase=${phrase.mkString(" ")}: got=$got want=$want")
+    }
+  }
+
   test("salted sub-runs of one term score identically to unsalted") {
     val rnd = new Random(555)
     val n = 8000L
     val postings = randPostings(rnd, 3000L, 600)
     val df = postings.size.toLong
-    val whole = mkBlocks("t", postings, df, n, 16)
+    val whole = mkBlocks("t", postings, 16)
     // split by hash of docId into 3 sub-runs (as the builder salts)
     val subs = postings.groupBy(p =>
       graft.index.IndexBuilder.saltOf(p._1, 3))
-      .toSeq.map { case (s, ps) => mkBlocks(s"t#$s", ps, df, n, 16) }
-    val unsalted = Wand.wandOr(Array(mkCursor(0, whole, n)), 20)
+      .toSeq.map { case (s, ps) => mkBlocks(s"t#$s", ps, 16) }
+    val unsalted = Wand.wandOr(Array(mkCursor(0, whole, n, df)), 20)
     val salted = Wand.wandOr(
-      subs.map(bs => mkCursor(0, bs, n)).toArray, 20)
+      subs.map(bs => mkCursor(0, bs, n, df)).toArray, 20)
     assert(unsalted.toSeq == salted.toSeq)
   }
 }
