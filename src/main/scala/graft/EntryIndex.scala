@@ -58,11 +58,11 @@ object EntryIndex {
     * double tolerance; ordered by rank.
     */
   def searchDf(spark: SparkSession, dir: String, query: String, k: Int,
-               mode: Searcher.Mode): DataFrame = {
+               mode: Searcher.Mode, offset: Int = 0): DataFrame = {
     import spark.implicits._
     val idx = ensure(spark, dir)
     Searcher.search(spark, idx, Seq(QuerySpec(0L, query)), k, mode,
-      numRanges = 4)
+      numRanges = 4, offset = offset)
       .select($"rank".cast("long").as("rank"), $"docId".as("doc_id"),
         round($"score", 4).as("score_r"))
       .orderBy("rank")

@@ -26,7 +26,8 @@ object OracleSql {
   /** BM25 top-k (k1=1.2, b=0.75, Lucene idf) — the engine's scoring
     * formula expressed in SQL; rank/tie-break (score desc, doc_id).
     */
-  def bm25(terms: Seq[String], k: Int, and: Boolean): String = {
+  /** Scoring CTE chain shared by the bm25 top-k and facet oracles. */
+  private def bm25Sc(terms: Seq[String], and: Boolean): String = {
     val havingAll =
       if (and) s"HAVING count(*) = ${terms.distinct.size}" else ""
     s"""$ftBase,
@@ -42,12 +43,28 @@ object OracleSql {
        |    AS score
        |  FROM tf JOIN q USING(term) JOIN df USING(term)
        |       JOIN dl USING(doc_id) CROSS JOIN stats
-       |  GROUP BY tf.doc_id $havingAll)
+       |  GROUP BY tf.doc_id $havingAll)""".stripMargin
+  }
+
+  def bm25(terms: Seq[String], k: Int, and: Boolean,
+           offset: Int = 0): String =
+    s"""${bm25Sc(terms, and)}
        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
        |         AS BIGINT) AS rank,
        |       doc_id, round(score, 4) AS score_r
-       |FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
-  }
+       |FROM sc ORDER BY score DESC, doc_id
+       |LIMIT $k OFFSET $offset""".stripMargin
+
+  /** Facets computed over the RESULT SET of a top-k query (the
+    * reference serves facets over the filtered hits, not the corpus).
+    */
+  def bm25FacetLang(terms: Seq[String], k: Int): String =
+    s"""${bm25Sc(terms, and = false)},
+       |top AS (SELECT doc_id FROM sc
+       |  ORDER BY score DESC, doc_id LIMIT $k)
+       |SELECT d.lang, count(*) AS n
+       |FROM top JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
   val langId: String =
     s"""SELECT doc_id,
@@ -71,6 +88,39 @@ object OracleSql {
        | FROM (SELECT doc_id, $toksExpr AS t FROM documents)
        | WHERE len(t) > 0)
        |ORDER BY doc_id""".stripMargin
+
+  /** Mirror of [[graft.pipeline.Dedup.simhash]] ([[TextOps.simhash64]]):
+    * per token, the first 8 bytes of md5 (big-endian) give 64 bits;
+    * each bit accumulates ±1 over all tokens (duplicates included);
+    * output bit = majority (> 0). Bit b lives in hex char (63−b)/4+1
+    * at in-nibble position b mod 4; the result assembles nibble-by-
+    * nibble (DuckDB BIGINT raises on 1<<63, so no 64-bit shifts).
+    */
+  val simhash: String = {
+    val bitSums = (0 until 64).map { b =>
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', " +
+        s"substr(h, ${(63 - b) / 4 + 1}, 1)) - 1) >> ${b % 4}) & 1 = 1 " +
+        s"THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n  ")
+    def nib(c: Int): String = {
+      val base = 4 * (16 - c)
+      (0 until 4).map(j =>
+        s"(CASE WHEN x.b${base + j} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    }
+    val fmt = "%x" * 16
+    val args = (1 to 16).map(nib).mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest($toksExpr) AS t FROM documents),
+       |th AS (SELECT doc_id, md5(t) AS h FROM tok),
+       |bits AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM th GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN x.doc_id IS NULL THEN '0000000000000000'
+       |       ELSE printf('$fmt', $args) END AS simhash
+       |FROM documents d LEFT JOIN bits x USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Distinct word-3-gram shingles CTE (1-indexed lists in DuckDB). */
   val shinglesCte: String =

@@ -97,9 +97,11 @@ object SparkEntry {
           "left_semi")
         .select(col("c_custkey")).orderBy("c_custkey")),
     "j_anti" -> ((s, d) =>
+      // anti against a FILTERED right side: non-empty at every sf (a
+      // 0-row anti matches a 0-row oracle however broken the join is)
       t(s, d, "part")
-        .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"),
-          "left_anti")
+        .join(t(s, d, "lineitem").filter(col("l_quantity") > 45),
+          col("p_partkey") === col("l_partkey"), "left_anti")
         .select(col("p_partkey")).orderBy("p_partkey")),
     // ---- windows / sorts / top-k (§2.5) ----------------------------
     "w1_latest" -> ((s, d) => {
@@ -113,6 +115,11 @@ object SparkEntry {
     "w2_topk" -> ((s, d) =>
       t(s, d, "events")
         .orderBy(desc("value"), col("event_id")).limit(15)
+        .select(col("event_id"), round(col("value"), 4).as("value_r"))),
+    "w2_page2" -> ((s, d) =>
+      // offset pagination on a relational sort (serve paths paginate)
+      t(s, d, "events")
+        .orderBy(desc("value"), col("event_id")).offset(15).limit(15)
         .select(col("event_id"), round(col("value"), 4).as("value_r"))),
     "w3_running" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -145,7 +152,7 @@ object SparkEntry {
     "set_except" -> ((s, d) =>
       t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("key"))
-        .except(t(s, d, "orders")
+        .except(t(s, d, "orders").filter(col("o_totalprice") < 100000.0)
           .select(col("o_custkey").as("key")))
         .orderBy("key")),
     "f6_format" -> ((s, d) =>
@@ -213,6 +220,20 @@ object SparkEntry {
       EntryIndex.searchDf(s, d, "vector hash scan merge", 10, Searcher.Or)),
     "ft_and_search" -> ((s, d) =>
       EntryIndex.searchDf(s, d, "data join order", 10, Searcher.And)),
+    "ft_bm25_page2" -> ((s, d) =>
+      // serve-path pagination: page 2 of k=10 (ranks 11-20); pruning
+      // bounds internally target depth offset+k
+      EntryIndex.searchDf(s, d, "data join", 10, Searcher.Or,
+        offset = 10)),
+    "ft_facet_topk" -> ((s, d) =>
+      // facets over the RESULT SET of a query (reference serve-path
+      // shape: facet the filtered hits, not the corpus)
+      EntryIndex.searchDf(s, d, "data join", 20, Searcher.Or)
+        .select(col("doc_id"))
+        .join(t(s, d, "documents").select(col("doc_id"), col("lang")),
+          "doc_id")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy("lang")),
     // ---- text analysis pipeline ------------------------------------
     "ft_langid" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -297,16 +318,18 @@ object SparkEntry {
         "embedding", 0.45, numBlocks = 8)),
     // ---- streaming (§2.8) ------------------------------------------
     "st_stream_agg" -> ((s, d) => Streaming.streamAgg(s, d)),
-    // ---- multimodal plumbing (binary column; rows-only) ------------
+    // ---- multimodal plumbing (binary html column → extracted text;
+    //      expected output HAND-AUTHORED, not extractor-derived) -----
     "mm_extract" -> ((s, d) => {
       import s.implicits._
-      data.PagesGen.pages(s, 500L)
-        .map(p => (p.lang,
-          if (functions.TextExtractor.extract(p.html) == p.text) 1L else 0L))
-        .toDF("lang", "ok")
-        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
-          sum(col("ok")).as("n_invariant_ok"))
-        .orderBy("lang")
+      data.ExtractFixtures.all
+        .map { case (id, html, _) =>
+          (id, html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        .toDF("fixture_id", "html")
+        .select(col("fixture_id"),
+          functions.GraftFunctions.extract_text(col("html")).as("text"))
+        .orderBy("fixture_id")
     })
   )
 
@@ -343,8 +366,8 @@ object SparkEntry {
     "j_semi" -> ("SELECT c_custkey FROM customer WHERE EXISTS (" +
       "SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
     "j_anti" -> ("SELECT p_partkey FROM part WHERE NOT EXISTS (" +
-      "SELECT 1 FROM lineitem WHERE l_partkey = p_partkey) " +
-      "ORDER BY p_partkey"),
+      "SELECT 1 FROM lineitem WHERE l_partkey = p_partkey " +
+      "AND l_quantity > 45) ORDER BY p_partkey"),
     "w1_latest" -> ("SELECT user_id, event_id AS last_event FROM events " +
       "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, " +
       "event_id DESC) = 1 ORDER BY user_id"),
@@ -367,7 +390,7 @@ object SparkEntry {
       "FROM orders WHERE o_totalprice > 100000.0 ORDER BY key"),
     "set_except" -> ("SELECT c_custkey AS key FROM customer WHERE " +
       "c_mktsegment = 'BUILDING' EXCEPT SELECT o_custkey AS key " +
-      "FROM orders ORDER BY key"),
+      "FROM orders WHERE o_totalprice < 100000.0 ORDER BY key"),
     "f6_format" -> ("SELECT printf('N(%d:%s)', n_nationkey, n_name) " +
       "AS tag FROM nation ORDER BY tag"),
     "set_union" -> ("SELECT c_custkey AS key FROM customer WHERE " +
@@ -405,6 +428,11 @@ object SparkEntry {
       10, and = false),
     "ft_and_search" -> OracleSql.bm25(Seq("data", "join", "order"), 10,
       and = true),
+    "ft_bm25_page2" -> OracleSql.bm25(Seq("data", "join"), 10,
+      and = false, offset = 10),
+    "ft_facet_topk" -> OracleSql.bm25FacetLang(Seq("data", "join"), 20),
+    "w2_page2" -> ("SELECT event_id, round(value,4) AS value_r FROM events " +
+      "ORDER BY value DESC, event_id LIMIT 15 OFFSET 15"),
     "ft_langid" -> OracleSql.langId,
     "ft_quality" -> OracleSql.quality,
     "ft_fingerprint" -> ("SELECT doc_id, md5(text) AS fp FROM documents " +
@@ -441,9 +469,10 @@ object SparkEntry {
       ">= 0.45 ORDER BY id_a, id_b"),
     "st_stream_agg" -> ("SELECT event_type, count(*) AS n, " +
       "CAST(sum(user_id) AS BIGINT) AS sum_users FROM events " +
-      "GROUP BY event_type ORDER BY event_type")
-    // dedup_simhash, sim_lsh_ann, mm_extract: engine-only (rows-only
-    // driver check) — simhash bit math and LSH bucketing have no
-    // cross-engine hash; mm_extract consumes generated binary html.
+      "GROUP BY event_type ORDER BY event_type"),
+    "dedup_simhash" -> OracleSql.simhash,
+    "mm_extract" -> data.ExtractFixtures.oracleSql
+    // sim_lsh_ann: engine-only (recall-tested approximate operator —
+    // no equality oracle by construction).
   )
 }

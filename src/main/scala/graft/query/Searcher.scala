@@ -68,8 +68,9 @@ object Searcher {
 
   def search(spark: SparkSession, indexDir: String,
              queries: Seq[QuerySpec], k: Int = 10, mode: Mode = Or,
-             numRanges: Int = 8): Dataset[SearchHit] =
-    searchMulti(spark, Seq(indexDir), queries, k, mode, numRanges)
+             numRanges: Int = 8, offset: Int = 0): Dataset[SearchHit] =
+    searchMulti(spark, Seq(indexDir), queries, k, mode, numRanges,
+      offset = offset)
 
   /** Search the union of several index generations (a base build plus
     * incremental deltas). Global stats combine exactly
@@ -86,11 +87,20 @@ object Searcher {
     *        scatter-volume hazard — pay ~one small scan to prune the
     *        big one.
     */
+  /** @param offset serve-path pagination: skip the first `offset`
+    *        ranked hits and return the next k (ranks continue —
+    *        page 2 of k=10 carries ranks 11-20). Internally the job
+    *        retrieves top (offset + k): every pruning bound (θ₀, df ≥
+    *        k floors, heap size) must target the DEEPER cut or true
+    *        page-2 hits would be pruned.
+    */
   def searchMulti(spark: SparkSession, indexDirs: Seq[String],
                   queries: Seq[QuerySpec], k: Int = 10, mode: Mode = Or,
                   numRanges: Int = 8,
-                  probeMinTotalDf: Long = 100000L): Dataset[SearchHit] = {
+                  probeMinTotalDf: Long = 100000L,
+                  offset: Int = 0): Dataset[SearchHit] = {
     import spark.implicits._
+    val depth = k + math.max(0, offset) // the cut every bound targets
     val statsList = indexDirs.map(d => IndexPaths.readStats(spark, d))
     val nTotal = statsList.map(_.numDocs).sum
     val tokTotal = statsList.map(_.totalTokens).sum
@@ -180,7 +190,7 @@ object Searcher {
       val t0 =
         if (mode != Or || stats.maxDl <= 0) Double.NegativeInfinity
         else {
-          val cands = p.terms.filter(_.df >= k).map(t =>
+          val cands = p.terms.filter(_.df >= depth).map(t =>
             BM25.score(1L, stats.maxDl, stats.avgdl,
               BM25.idf(stats.numDocs, t.df)))
           if (cands.isEmpty) Double.NegativeInfinity
@@ -196,7 +206,7 @@ object Searcher {
     // is tight enough to make the pre-shuffle residual gate fire.
     val probed: Map[Long, Double] = {
       val probePlans = plans.filter { p =>
-        mode == Or && p.terms.size >= 2 && p.terms.head.df >= k &&
+        mode == Or && p.terms.size >= 2 && p.terms.head.df >= depth &&
           // don't probe when even the rarest term is itself huge —
           // the probe scan would rival the query
           p.terms.head.df <= math.max(10L * probeMinTotalDf, 1000000L) &&
@@ -229,7 +239,7 @@ object Searcher {
             .filter($"bucket".isin(bks: _*) && $"termHash".isin(hs: _*))
             .as[SegmentBlock]
         }.reduce(_ union _)
-        val kLocal = k
+        val kLocal = depth
         pBlocks.flatMap { b =>
           bcProbe.value.getOrElse(b.skey, Seq.empty).iterator.flatMap {
             case (qid, idf) =>
@@ -358,8 +368,8 @@ object Searcher {
             val groups = order.map(tI => cursors.filter(_.termIdx == tI))
               .toArray
             if (groups.exists(_.isEmpty)) Array.empty[(Long, Double)]
-            else Wand.intersectAnd(groups, k)
-          } else Wand.wandOr(cursors, k, floor)
+            else Wand.intersectAnd(groups, depth)
+          } else Wand.wandOr(cursors, depth, floor)
         top.iterator.map { case (d, s) => (qid, d, s) }
       }
 
@@ -374,8 +384,10 @@ object Searcher {
       .toSeq
       .flatMap { case (qid, rows) =>
         rows.sortBy { case (_, d, s) => (-s, d) }
-          .take(k).zipWithIndex
-          .map { case ((_, d, s), i) => SearchHit(qid, i + 1, d, s) }
+          .slice(math.max(0, offset), depth).zipWithIndex
+          .map { case ((_, d, s), i) =>
+            SearchHit(qid, math.max(0, offset) + i + 1, d, s)
+          }
       }
     spark.createDataset(merged)
   }

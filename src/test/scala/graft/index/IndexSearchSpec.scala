@@ -160,6 +160,24 @@ class IndexSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("offset pagination: page1 ++ page2 == top-20 with continuous ranks") {
+    val queries = QuerySet.queries().take(10)
+    val top20 = Searcher.search(spark, indexDir, queries, 20,
+      Searcher.Or, 4).collect().groupBy(_.queryId)
+    val p1 = Searcher.search(spark, indexDir, queries, 10,
+      Searcher.Or, 4, offset = 0).collect().groupBy(_.queryId)
+    val p2 = Searcher.search(spark, indexDir, queries, 10,
+      Searcher.Or, 4, offset = 10).collect().groupBy(_.queryId)
+    queries.foreach { q =>
+      val want = top20.getOrElse(q.queryId, Array.empty).sortBy(_.rank)
+        .map(h => (h.rank, h.docId, h.score)).toSeq
+      val got = (p1.getOrElse(q.queryId, Array.empty) ++
+        p2.getOrElse(q.queryId, Array.empty)).sortBy(_.rank)
+        .map(h => (h.rank, h.docId, h.score)).toSeq
+      assert(got == want, s"query '${q.text}' paging mismatch")
+    }
+  }
+
   test("url back-join resolves every hit") {
     val hits = Searcher.search(spark, indexDir,
       QuerySet.queries().take(5), 10, Searcher.Or, 4)
