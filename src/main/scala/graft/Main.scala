@@ -89,6 +89,9 @@ object Main {
           .head().getTimestamp(0)
         if (maxTs != null)
           graft.index.Incremental.writeWatermark(spark, indexDir, maxTs)
+        // source fingerprint: the cheap probes of `delta` change
+        // detection compare against it
+        graft.index.Incremental.writeFingerprint(pages, indexDir)
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"built index: docs=${stats.numDocs} terms=${stats.numTerms} " +
           f"avgdl=${stats.avgdl}%.2f buckets=${stats.numBuckets} " +

@@ -1,16 +1,19 @@
 package graft.index
 
 import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Compaction: merge several index generations (a base + deltas) into
   * one, WITHOUT re-tokenizing — postings are decoded from the segment
-  * blocks, per-term df/cf are re-summed globally, hot terms re-salted
-  * under the merged df, and the standard merge-by-term encode runs.
-  * docIds are preserved (generations are docId-disjoint by
-  * construction), so compacted results are identical to
-  * [[graft.query.Searcher.searchMulti]] over the inputs — scores AND
-  * docIds.
+  * blocks, re-crawled urls are deduplicated (the NEWEST generation's
+  * version wins, matching the reference's insert-or-update re-crawl,
+  * /root/reference/packages/core/spheraform_core/tasks/crawl.py:190-254),
+  * per-term df/cf/maxTf/minDl are recomputed exactly from the
+  * SURVIVING postings, hot terms re-salted under the merged df, and
+  * the standard merge-by-term encode runs. Surviving docIds are
+  * preserved, so compacted results are identical to a full rebuild
+  * over the post-replacement corpus — scores AND docIds.
   *
   * Ancestor: the reference's landing-zone promote step
   * (/root/reference/packages/core/spheraform_core/storage/backend.py:473-535) —
@@ -29,10 +32,18 @@ object Compaction {
       if (cfg.shufflePartitions > 0) cfg.shufflePartitions
       else spark.sessionState.conf.numShufflePartitions
 
-    // 1. docs meta: disjoint union, re-sorted by docId
-    val docsAll = gens.map(d => spark.read.parquet(s"$d/docs"))
-      .reduce(_ unionByName _)
-    docsAll.repartitionByRange(math.max(1, shufP / 2), $"docId")
+    // 1. docs meta: per url, the row from the LATEST generation wins
+    //    (re-crawl upsert); losers' docIds drop out of everything
+    val docsAll = gens.zipWithIndex.map { case (d, i) =>
+      spark.read.parquet(s"$d/docs").withColumn("gen", lit(i))
+    }.reduce(_ unionByName _)
+    val ranked = docsAll.withColumn("rn",
+      row_number().over(Window.partitionBy($"url").orderBy(desc("gen"),
+        desc("docId"))))
+    val losers = ranked.filter($"rn" > 1).select($"docId")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val winners = ranked.filter($"rn" === 1).drop("rn", "gen")
+    winners.repartitionByRange(math.max(1, shufP / 2), $"docId")
       .sortWithinPartitions("docId")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
     val written = spark.read.parquet(s"$outDir/docs")
@@ -43,32 +54,9 @@ object Compaction {
     val avgdl = if (n == 0) 0.0 else totalTokens.toDouble / n
     val maxDl = if (n == 0) 0L else agg0.getLong(3)
 
-    // 2. terms: re-sum df/cf across generations; re-salt under the
-    //    merged df
-    val termsAll = gens.map(d => spark.read.parquet(s"$d/terms"))
-      .reduce(_ unionByName _)
-      .groupBy($"term", $"termHash")
-      .agg(sum($"df").as("df"), sum($"cf").as("cf"),
-        max($"maxTf").as("maxTf"), min($"minDl").as("minDl"))
-      .withColumn("saltCount",
-        when($"df" > cfg.saltTarget,
-          ceil($"df".cast("double") / cfg.saltTarget).cast("int"))
-          .otherwise(lit(1)))
-      .select($"term", $"termHash", $"df", $"cf", $"saltCount",
-        $"maxTf", $"minDl")
-    termsAll.repartitionByRange(math.max(1, shufP / 4), $"termHash")
-      .sortWithinPartitions("termHash")
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
-    val termsRead = spark.read.parquet(s"$outDir/terms")
-    val numTerms = termsRead.count()
-    val stats = IndexStats(buildId, n, avgdl, numTerms, cfg.numBuckets,
-      cfg.blockSize, agg0.getLong(2), totalTokens, maxDl)
-    IndexPaths.writeStats(spark, outDir, stats)
-    ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
-      IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,
-      System.currentTimeMillis()))
-
-    // 3. postings: decode blocks (no tokenize), re-key, merge-encode
+    // 2. postings: decode blocks (no tokenize), drop replaced docs
+    //    (anti join — the loser set can be arbitrarily large in a full
+    //    re-crawl, so never broadcast it)
     val decoded = gens.map(d =>
         spark.read.parquet(s"$d/segments").as[SegmentBlock])
       .reduce(_ union _)
@@ -85,6 +73,40 @@ object Compaction {
             if (pos == null) Array.emptyByteArray else pos(i)))
       }
       .toDF("term", "docId", "tf", "dl", "posEnc")
+      .join(losers, Seq("docId"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 3. terms: recomputed EXACTLY from the surviving postings (a
+    //    metadata re-sum would overcount df/cf once a doc is dropped);
+    //    re-salt under the merged df
+    val termDf = decoded.groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("cf"),
+        max($"tf").cast("int").as("maxTf"),
+        min($"dl").cast("int").as("minDl"))
+      .withColumn("saltCount",
+        when($"df" > cfg.saltTarget,
+          ceil($"df".cast("double") / cfg.saltTarget).cast("int"))
+          .otherwise(lit(1)))
+    val termsParts = math.max(1,
+      Integer.highestOneBit(math.max(1, shufP / 4)))
+    termDf
+      .withColumn("termHash", xxhash64($"term"))
+      .select($"term", $"termHash", $"df", $"cf", $"saltCount",
+        $"maxTf", $"minDl")
+      .repartition(termsParts,
+        IndexBuilder.rangePid(col("termHash"), termsParts))
+      .sortWithinPartitions("termHash")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
+    val termsRead = spark.read.parquet(s"$outDir/terms")
+    val numTerms = termsRead.count()
+    val stats = IndexStats(buildId, n, avgdl, numTerms, cfg.numBuckets,
+      cfg.blockSize, agg0.getLong(2), totalTokens, maxDl)
+    IndexPaths.writeStats(spark, outDir, stats)
+    ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
+      IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,
+      System.currentTimeMillis()))
+
+    // 4. re-key, merge-encode
     val shift = 64 - java.lang.Integer.numberOfTrailingZeros(cfg.numBuckets)
     val bucketCol =
       if (cfg.numBuckets == 1) lit(0)
@@ -106,11 +128,14 @@ object Compaction {
     IndexBuilder.encodeSegments(staged, stats, cfg)
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$outDir/segments")
+    decoded.unpersist()
+    losers.unpersist()
     ckpt.commit(Checkpoint(buildId, "segments", 0, "COMPLETE",
       spark.read.parquet(s"$outDir/segments").count(),
       IndexPaths.dirBytes(spark, s"$outDir/segments"), lineage, t0,
       System.currentTimeMillis()))
-    // carry the newest watermark forward
+    // carry the newest watermark forward; tombstones are consumed
+    // (the compacted generation has none)
     gens.flatMap(d => Incremental.readWatermark(spark, d))
       .sortBy(_.getTime).lastOption
       .foreach(ts => Incremental.writeWatermark(spark, outDir, ts))

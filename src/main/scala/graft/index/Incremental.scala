@@ -21,10 +21,26 @@ import graft.data.PageRow
   * (maxTf, minDl) under CURRENT combined stats, so WAND stays exact
   * as N, avgdl, and df move.
   *
-  * Constraint (append-only): generations must be url-disjoint; a
-  * re-crawled url needs a compaction pass, not a delta.
+  * Re-crawl upsert: a delta MAY contain urls that already exist in a
+  * base generation (`allowRecrawl`). The delta then writes a
+  * `tombstones/` parquet of the replaced base docIds; searchMulti
+  * masks them (the dead version is never returned, the new one is),
+  * and compaction drops them physically and recomputes term stats —
+  * after compaction results are exactly those of a full rebuild over
+  * the post-replacement corpus. Between delta and compaction, BM25
+  * weights still use pre-replacement global stats (idf/avgdl include
+  * the dead docs); the reference accepts the same transient staleness
+  * between its re-crawl UPDATE and the next reindex
+  * (/root/reference/packages/core/spheraform_core/tasks/crawl.py:190-254).
   */
 object Incremental {
+
+  /** Replaced docIds (tombstones) recorded beside a delta. */
+  def readTombstones(spark: SparkSession, indexDir: String): Seq[Long] =
+    if (!IndexPaths.exists(spark, s"$indexDir/tombstones"))
+      Seq.empty
+    else spark.read.parquet(s"$indexDir/tombstones")
+      .select(col("docId")).collect().map(_.getLong(0)).toSeq
 
   /** The base generation's ingestion watermark, persisted beside its
     * stats (written by [[buildDelta]] and [[watermarkOf]] callers).
@@ -47,6 +63,75 @@ object Incremental {
       case None    => pages
     }
 
+  // ---- multi-method change detection (cost-ordered probe ladder) ----
+  // Reference ancestor: tri-state change probes ordered by cost,
+  // /root/reference/packages/core/spheraform_core/adapters/base.py:171-199.
+
+  sealed trait Change
+  case object Unchanged extends Change
+  case object Changed extends Change
+  case object Unknown extends Change
+
+  /** Source fingerprint sidecar: row count + an order-independent
+    * content checksum (sum of xxhash64(url, text) as decimal — a sum
+    * is partition-order-independent, unlike any concatenation).
+    * Written at build time; the checksum probe compares against it.
+    */
+  def writeFingerprint(pages: Dataset[PageRow], indexDir: String): Unit = {
+    val spark = pages.sparkSession
+    val r = pages.agg(count(lit(1)),
+      sum(xxhash64(col("url"), col("text")).cast("decimal(38,0)"))).head()
+    val n = r.getLong(0)
+    val sum0 = if (r.isNullAt(1)) BigDecimal(0) else r.getDecimal(1)
+    IndexPaths.writeString(spark, s"$indexDir/fingerprint.json",
+      s"""{"count":$n,"checksum":"$sum0"}""")
+  }
+
+  /** Run the probe ladder, cheapest first, stopping at the first
+    * DECISIVE probe. Returns the verdict plus the per-probe trail
+    * (tri-state each, like the reference's method ladder):
+    *  1. watermark — max(warc_ts) vs the stored watermark: one
+    *     column-pruned agg; newer rows ⇒ Changed, else Unknown
+    *     (same-timestamp edits are invisible to it).
+    *  2. count — row count vs the fingerprint count: != ⇒ Changed,
+    *     == ⇒ Unknown (replacements preserve counts).
+    *  3. checksum — content checksum vs the fingerprint: decisive in
+    *     BOTH directions (full scan; the expensive last rung).
+    */
+  def detectChange(pages: Dataset[PageRow],
+                   indexDir: String): (Change, Seq[(String, Change)]) = {
+    val spark = pages.sparkSession
+    val trail = scala.collection.mutable.ArrayBuffer.empty[(String, Change)]
+    // 1. watermark probe
+    val wmVerdict = readWatermark(spark, indexDir) match {
+      case None => Unknown
+      case Some(w) =>
+        val maxTs = pages.agg(max(col("warc_ts"))).head().getTimestamp(0)
+        if (maxTs != null && maxTs.after(w)) Changed else Unknown
+    }
+    trail += (("watermark", wmVerdict))
+    if (wmVerdict == Changed) return (Changed, trail.toSeq)
+    // 2 + 3 need the fingerprint sidecar
+    if (!IndexPaths.exists(spark, s"$indexDir/fingerprint.json")) {
+      trail += (("count", Unknown)); trail += (("checksum", Unknown))
+      return (Unknown, trail.toSeq)
+    }
+    val fp = IndexPaths.parseFlatJson(
+      IndexPaths.readString(spark, s"$indexDir/fingerprint.json"))
+    val r = pages.agg(count(lit(1)),
+      sum(xxhash64(col("url"), col("text")).cast("decimal(38,0)"))).head()
+    val cntVerdict =
+      if (r.getLong(0) != fp("count").toLong) Changed else Unknown
+    trail += (("count", cntVerdict))
+    if (cntVerdict == Changed) return (Changed, trail.toSeq)
+    val sum0 =
+      if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1))
+    val ckVerdict =
+      if (sum0 == BigDecimal(fp("checksum"))) Unchanged else Changed
+    trail += (("checksum", ckVerdict))
+    (ckVerdict, trail.toSeq)
+  }
+
   /** Build a delta generation over `pages` (pre-filtered to new rows),
     * numbering docIds above the base generations' maxDocId. Returns
     * the delta's stats.
@@ -54,7 +139,8 @@ object Incremental {
   def buildDelta(pages: Dataset[PageRow], baseDirs: Seq[String],
                  deltaDir: String, cfg: IndexBuilder.Config,
                  buildId: String = "delta",
-                 useExtractor: Boolean = true): IndexStats = {
+                 useExtractor: Boolean = true,
+                 allowRecrawl: Boolean = false): IndexStats = {
     val spark = pages.sparkSession
     val baseMax = baseDirs.map(d =>
       IndexPaths.readStats(spark, d).maxDocId).max
@@ -63,6 +149,19 @@ object Incremental {
       useExtractor = useExtractor, offset = baseMax + 1)
     val stats = IndexBuilder.build(docs, deltaDir, cfg, buildId,
       lineage = s"delta-over(${baseDirs.mkString(",")})")
+    if (allowRecrawl) {
+      // tombstone the base versions of re-crawled urls: the delta's
+      // url set joins each base's docs meta (pruned to two columns)
+      val deltaUrls = spark.read.parquet(s"$deltaDir/docs")
+        .select(col("url"))
+      baseDirs.map(d => spark.read.parquet(s"$d/docs")
+          .select(col("docId"), col("url")))
+        .reduce(_ unionByName _)
+        .join(org.apache.spark.sql.functions.broadcast(deltaUrls), "url")
+        .select(col("docId"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$deltaDir/tombstones")
+    }
     val maxTs = pages.agg(max(col("warc_ts"))).head().getTimestamp(0)
     if (maxTs != null) writeWatermark(spark, deltaDir, maxTs)
     stats

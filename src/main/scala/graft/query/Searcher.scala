@@ -102,6 +102,15 @@ object Searcher {
     import spark.implicits._
     val depth = k + math.max(0, offset) // the cut every bound targets
     val statsList = indexDirs.map(d => IndexPaths.readStats(spark, d))
+    // Re-crawl tombstones: replaced base docIds are masked out of
+    // every evaluator (the dead version never surfaces). Until
+    // compaction, global stats still count the dead docs, so the free
+    // θ₀ / probe floors (whose safety proof counts df docs) are
+    // disabled — correctness over speed in the transient window.
+    val tombstones: Set[Long] = indexDirs
+      .flatMap(d => graft.index.Incremental.readTombstones(spark, d)).toSet
+    val bcTomb = spark.sparkContext.broadcast(tombstones)
+    val noTomb = tombstones.isEmpty
     val nTotal = statsList.map(_.numDocs).sum
     val tokTotal = statsList.map(_.totalTokens).sum
     val stats = statsList.head.copy(
@@ -188,7 +197,8 @@ object Searcher {
     }
     val theta0Free: Map[Long, Double] = plans.map { p =>
       val t0 =
-        if (mode != Or || stats.maxDl <= 0) Double.NegativeInfinity
+        if (mode != Or || stats.maxDl <= 0 || !noTomb)
+          Double.NegativeInfinity
         else {
           val cands = p.terms.filter(_.df >= depth).map(t =>
             BM25.score(1L, stats.maxDl, stats.avgdl,
@@ -206,7 +216,8 @@ object Searcher {
     // is tight enough to make the pre-shuffle residual gate fire.
     val probed: Map[Long, Double] = {
       val probePlans = plans.filter { p =>
-        mode == Or && p.terms.size >= 2 && p.terms.head.df >= depth &&
+        noTomb &&
+          mode == Or && p.terms.size >= 2 && p.terms.head.df >= depth &&
           // don't probe when even the rarest term is itself huge —
           // the probe scan would rival the query
           p.terms.head.df <= math.max(10L * probeMinTotalDf, 1000000L) &&
@@ -358,6 +369,8 @@ object Searcher {
           new Cursor(tIdx, idf, bs, avgdl, lo, hi)
         }.toArray
         val floor = bcTheta0.value.getOrElse(qid, Double.NegativeInfinity)
+        val mask: Long => Boolean =
+          if (bcTomb.value.isEmpty) null else bcTomb.value.contains _
         val top =
           if (isAnd) {
             val order = bcDfOrder.value(qid)
@@ -368,8 +381,8 @@ object Searcher {
             val groups = order.map(tI => cursors.filter(_.termIdx == tI))
               .toArray
             if (groups.exists(_.isEmpty)) Array.empty[(Long, Double)]
-            else Wand.intersectAnd(groups, depth)
-          } else Wand.wandOr(cursors, depth, floor)
+            else Wand.intersectAnd(groups, depth, mask)
+          } else Wand.wandOr(cursors, depth, floor, mask)
         top.iterator.map { case (d, s) => (qid, d, s) }
       }
 

@@ -191,8 +191,12 @@ object Wand {
     s
   }
 
-  /** Exhaustive disjunctive evaluation (document-at-a-time union). */
-  def exhaustiveOr(cursors: Array[Cursor], k: Int): Array[(Long, Double)] = {
+  /** Exhaustive disjunctive evaluation (document-at-a-time union).
+    * `masked` docIds (tombstoned by a re-crawl delta) are never
+    * offered to the heap.
+    */
+  def exhaustiveOr(cursors: Array[Cursor], k: Int,
+                   masked: Long => Boolean = null): Array[(Long, Double)] = {
     val heap = new TopK(k)
     val buf = new Array[Cursor](cursors.length)
     var live = cursors.filterNot(_.exhausted)
@@ -201,8 +205,10 @@ object Wand {
       live.foreach(c => if (c.curDoc < min) min = c.curDoc)
       var n = 0
       live.foreach { c => if (c.curDoc == min) { buf(n) = c; n += 1 } }
-      val s = fullScore(buf, n)
-      heap.offer(s, min)
+      if (masked == null || !masked(min)) {
+        val s = fullScore(buf, n)
+        heap.offer(s, min)
+      }
       var i = 0
       while (i < n) { buf(i).next(); i += 1 }
       live = live.filterNot(_.exhausted)
@@ -220,7 +226,8 @@ object Wand {
     * the unseeded classic behavior.
     */
   def wandOr(cursors0: Array[Cursor], k: Int,
-             floor: Double = Double.NegativeInfinity): Array[(Long, Double)] = {
+             floor: Double = Double.NegativeInfinity,
+             masked: Long => Boolean = null): Array[(Long, Double)] = {
     val heap = new TopK(k)
     var cursors = cursors0.filterNot(_.exhausted)
     val matchedBuf = new Array[Cursor](cursors0.length)
@@ -259,14 +266,17 @@ object Wand {
           j += 1
         }
         if (bmSum > theta) {
-          // full evaluation at pivotDoc
+          // full evaluation at pivotDoc (masked docs advance past
+          // without scoring — a tombstoned doc must never surface)
           var n = 0
           var j2 = 0
           while (j2 < cursors.length && cursors(j2).curDoc == pivotDoc) {
             matchedBuf(n) = cursors(j2); n += 1; j2 += 1
           }
-          val s = fullScore(matchedBuf, n)
-          heap.offer(s, pivotDoc)
+          if (masked == null || !masked(pivotDoc)) {
+            val s = fullScore(matchedBuf, n)
+            heap.offer(s, pivotDoc)
+          }
           var j3 = 0
           while (j3 < n) { matchedBuf(j3).advanceTo(pivotDoc + 1); j3 += 1 }
         } else {
@@ -373,8 +383,18 @@ object Wand {
     * t. Driver list = the group with the smallest df; membership in
     * other groups checked by galloping `advanceTo` (the posting-list
     * intersection of SURVEY.md §2.3).
+    *
+    * Block-max pruning (the OR path's skip, adapted): once the heap is
+    * full, bound any doc in [cand, L] by Σ_g max(blockMax over g's
+    * cursors), where L = min over all live cursors' blockLast — each
+    * cursor's block bound holds only up to its own block end, so the
+    * window ends at the earliest one. If the bound can't beat θ, jump
+    * the driver past L without decoding anything. θ₀-style floors are
+    * NOT seeded for AND: result counts are unknown a priori, so no
+    * safe global lower bound exists (SURVEY.md §2.5 tie-in).
     */
-  def intersectAnd(groups: Array[Array[Cursor]], k: Int): Array[(Long, Double)] = {
+  def intersectAnd(groups: Array[Array[Cursor]], k: Int,
+                   masked: Long => Boolean = null): Array[(Long, Double)] = {
     if (groups.isEmpty || groups.exists(_.forall(_.exhausted)))
       return Array.empty
     val heap = new TopK(k)
@@ -389,30 +409,65 @@ object Wand {
     }
     var cand = drvMin
     while (cand != Long.MaxValue) {
-      var ok = true
-      var n = 0
-      // a doc lives in exactly one salt sub-run of a term
-      drv.foreach(c =>
-        if (!c.exhausted && c.curDoc == cand) { matched(n) = c; n += 1 })
-      var gi = 0
-      while (ok && gi < others.length) {
-        val g = others(gi)
-        var hit: Cursor = null
-        var ci = 0
-        while (hit == null && ci < g.length) {
-          val c = g(ci)
-          if (!c.exhausted) {
-            c.advanceTo(cand)
-            if (c.curDoc == cand) hit = c
+      // block-max gate (metadata only, no decode)
+      var skipTo = -1L
+      if (heap.size >= k) {
+        val theta = heap.threshold
+        var bound = 0.0
+        var minLast = Long.MaxValue
+        var gi = 0
+        var dead = false
+        while (!dead && gi < groups.length) {
+          val g = groups(gi)
+          var gMax = 0.0
+          var any = false
+          var ci = 0
+          while (ci < g.length) {
+            val c = g(ci)
+            if (!c.exhausted && c.advanceShallow(cand)) {
+              any = true
+              if (c.blockMax > gMax) gMax = c.blockMax
+              if (c.blockLast < minLast) minLast = c.blockLast
+            }
+            ci += 1
           }
-          ci += 1
+          if (!any) dead = true // a required term has no postings left
+          bound += gMax
+          gi += 1
         }
-        if (hit == null) ok = false else { matched(n) = hit; n += 1 }
-        gi += 1
+        if (dead) return heap.result()
+        if (bound <= theta && minLast >= cand) skipTo = minLast + 1
       }
-      if (ok) heap.offer(fullScore(matched, n), cand)
-      drv.foreach(c =>
-        if (!c.exhausted && c.curDoc <= cand) c.advanceTo(cand + 1))
+      if (skipTo > cand) {
+        drv.foreach(c =>
+          if (!c.exhausted && c.curDoc < skipTo) c.advanceTo(skipTo))
+      } else {
+        var ok = true
+        var n = 0
+        // a doc lives in exactly one salt sub-run of a term
+        drv.foreach(c =>
+          if (!c.exhausted && c.curDoc == cand) { matched(n) = c; n += 1 })
+        var gi = 0
+        while (ok && gi < others.length) {
+          val g = others(gi)
+          var hit: Cursor = null
+          var ci = 0
+          while (hit == null && ci < g.length) {
+            val c = g(ci)
+            if (!c.exhausted) {
+              c.advanceTo(cand)
+              if (c.curDoc == cand) hit = c
+            }
+            ci += 1
+          }
+          if (hit == null) ok = false else { matched(n) = hit; n += 1 }
+          gi += 1
+        }
+        if (ok && (masked == null || !masked(cand)))
+          heap.offer(fullScore(matched, n), cand)
+        drv.foreach(c =>
+          if (!c.exhausted && c.curDoc <= cand) c.advanceTo(cand + 1))
+      }
       cand = drvMin
     }
     heap.result()

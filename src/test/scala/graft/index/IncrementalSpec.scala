@@ -79,4 +79,72 @@ class IncrementalSpec extends AnyFunSuite {
       .map(h => (h.queryId, h.rank, h.docId, h.score)).sortBy(x => (x._1, x._2))
     assert(compact.toSeq == multiRaw.toSeq, "compaction != multi-gen search")
   }
+
+  test("re-crawl upsert: new content wins; compaction == full rebuild") {
+    import spark.implicits._
+    val nBase = 800
+    val basePages = PagesGen.pages(spark, nBase.toLong).cache()
+    val baseDir = SparkTestSession.tmpDir("graft_rc_base")
+    val deltaDir = SparkTestSession.tmpDir("graft_rc_delta")
+    val fullDir = SparkTestSession.tmpDir("graft_rc_full")
+    val compDir = SparkTestSession.tmpDir("graft_rc_comp")
+    IndexBuilder.build(DocIds.fromPages(basePages, 6), baseDir, cfg, "base")
+
+    // delta: 100 brand-new pages + 25 RE-CRAWLED base urls whose text
+    // changed (a unique marker token identifies the new version)
+    val marker = "zzrecrawlmarker"
+    val newPages = (0 until 100).map(i => PagesGen.row(99L, 10000L + i))
+    val recrawled = (0 until 25).map { i =>
+      val p = PagesGen.row(42L, (i * 31).toLong) // every 31st base page
+      p.copy(text = p.text + s" $marker $marker",
+        warc_ts = new java.sql.Timestamp(p.warc_ts.getTime + 86400000L))
+    }
+    val deltaPages = spark.createDataset(newPages ++ recrawled)
+    Incremental.buildDelta(deltaPages, Seq(baseDir), deltaDir, cfg,
+      useExtractor = false, allowRecrawl = true)
+    val tombs = Incremental.readTombstones(spark, deltaDir)
+    assert(tombs.size == 25, s"expected 25 tombstones, got ${tombs.size}")
+
+    // serve path before compaction: the dead versions never surface,
+    // the re-crawled content is searchable
+    val q = Seq(graft.query.QuerySpec(0L, marker))
+    val hits = Searcher.searchMulti(spark, Seq(baseDir, deltaDir), q,
+      10, Searcher.Or, numRanges = 4).collect()
+    assert(hits.nonEmpty, "re-crawled content not found")
+    assert(hits.forall(h => !tombs.contains(h.docId)),
+      "a tombstoned docId surfaced")
+    // broad queries must not return tombstoned docs either
+    val broad = Searcher.searchMulti(spark, Seq(baseDir, deltaDir),
+      QuerySet.queries().take(15), 10, Searcher.Or, numRanges = 4)
+      .collect()
+    assert(broad.forall(h => !tombs.contains(h.docId)),
+      "tombstoned doc in broad query results")
+
+    // compaction drops the dead docs; full rebuild over the
+    // post-replacement corpus must match by url AND exact score
+    Compaction.compact(spark, Seq(baseDir, deltaDir), compDir, cfg)
+    val replacedUrls = recrawled.map(_.url).toSet
+    val postCorpus = basePages.collect().toSeq
+      .filterNot(p => replacedUrls.contains(p.url)) ++
+      newPages ++ recrawled
+    IndexBuilder.build(
+      DocIds.fromPages(spark.createDataset(postCorpus), 6), fullDir,
+      cfg, "full")
+    val queries = QuerySet.queries().take(20) :+
+      graft.query.QuerySpec(990L, marker)
+    def byUrl(dirs: Seq[String], k: Int) = {
+      val h = Searcher.searchMulti(spark, dirs, queries, k,
+        Searcher.Or, numRanges = 4).collect()
+      val urls = dirs.flatMap { d =>
+        spark.read.parquet(s"$d/docs")
+          .filter($"docId".isin(h.map(_.docId).distinct: _*))
+          .select($"docId", $"url").as[(Long, String)].collect()
+      }.toMap
+      h.map(x => (x.queryId, x.rank, urls(x.docId),
+          BigDecimal(x.score).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    }
+    assert(byUrl(Seq(compDir), 10) == byUrl(Seq(fullDir), 10),
+      "compacted != full rebuild after re-crawl")
+  }
 }
