@@ -73,13 +73,16 @@ object Main {
         val indexDir = args(2)
         val numBuckets = if (args.length > 3) args(3).toInt else 32
         val saltTarget = if (args.length > 4) args(4).toLong else 250000L
+        // positional tier on by default for CLI builds (enables the
+        // `phrase` command); pass 0 to build a BM25-only index
+        val withPos = if (args.length > 5) args(5) == "1" else true
         val pages = readPages(spark, src)
         val docs = DocIds.fromPages(pages,
           spark.sessionState.conf.numShufflePartitions,
           useExtractor = true)
         val nDocs = docs.count()
         val cfg = IndexBuilder.Config(numBuckets = numBuckets,
-          saltTarget = saltTarget)
+          saltTarget = saltTarget, withPositions = withPos)
         val stats = IndexBuilder.build(docs, indexDir, cfg,
           buildId = s"cli-${System.currentTimeMillis()}",
           resume = true, lineage = src)
@@ -111,20 +114,43 @@ object Main {
         println(f"query '$q' took $secs%.2fs total (incl. session)")
 
       case "delta" =>
-        // incremental: index only pages newer than the base watermark
+        // incremental: probe-ladder change detection, then index only
+        // pages newer than the base watermark (re-crawls allowed —
+        // replaced base docs are tombstoned)
         val src = args(1)
         val baseDirs = args(2).split(",").toSeq
         val deltaDir = args(3)
         val pages = readPages(spark, src)
-        val wm = baseDirs.flatMap(d =>
-          graft.index.Incremental.readWatermark(spark, d))
-          .sortBy(_.getTime).lastOption
-        val fresh = graft.index.Incremental.newPages(pages, wm)
-        val nFresh = fresh.count()
-        val stats = graft.index.Incremental.buildDelta(fresh, baseDirs,
-          deltaDir, IndexBuilder.Config())
-        println(s"delta over watermark=$wm: $nFresh new docs → " +
-          s"${stats.numDocs} indexed, maxDocId=${stats.maxDocId}")
+        val (verdict, trail) =
+          graft.index.Incremental.detectChange(pages, baseDirs.head)
+        println(s"change probes: " + trail.map { case (p, v) =>
+          s"$p=$v" }.mkString(" → ") + s" ⇒ $verdict")
+        if (verdict == graft.index.Incremental.Unchanged) {
+          println("source unchanged — nothing to index")
+        } else {
+          val wm = baseDirs.flatMap(d =>
+            graft.index.Incremental.readWatermark(spark, d))
+            .sortBy(_.getTime).lastOption
+          val fresh = graft.index.Incremental.newPages(pages, wm)
+          val nFresh = fresh.count()
+          val stats = graft.index.Incremental.buildDelta(fresh, baseDirs,
+            deltaDir, IndexBuilder.Config(), allowRecrawl = true)
+          val tombs =
+            graft.index.Incremental.readTombstones(spark, deltaDir)
+          println(s"delta over watermark=$wm: $nFresh new docs → " +
+            s"${stats.numDocs} indexed, maxDocId=${stats.maxDocId}, " +
+            s"${tombs.size} re-crawled urls tombstoned")
+        }
+
+      case "phrase" =>
+        // engine-served phrase search over the positional tier
+        val dirs = args(1).split(",").toSeq
+        val phrase = args.drop(2).mkString(" ")
+        val ids = Searcher.phraseSearch(spark, dirs, phrase)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(s"phrase '$phrase': ${ids.size} docs " +
+          s"[${ids.take(20).mkString(", ")}${if (ids.size > 20) ", …" else ""}]")
+        println(f"took $secs%.2fs total (incl. session)")
 
       case "queryset" =>
         val indexDir = args(1)
@@ -152,6 +178,7 @@ object Main {
 
   private def usage(): Unit = System.err.println(
     "usage: graft.Main gen <n> <dir> | build <pagesDir|gen:N> <indexDir> " +
-      "[buckets] [saltTarget] | search <indexDir> <k> <query...> | " +
-      "queryset <indexDir> <k>")
+      "[buckets] [saltTarget] | search <indexDir[,delta...]> <k> <query...> " +
+      "| phrase <indexDir[,delta...]> <word...> | queryset <indexDir> <k> " +
+      "| delta <src> <baseDirs> <deltaDir> | compact <gens> <outDir>")
 }

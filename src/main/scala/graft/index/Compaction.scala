@@ -40,40 +40,43 @@ object Compaction {
     val ranked = docsAll.withColumn("rn",
       row_number().over(Window.partitionBy($"url").orderBy(desc("gen"),
         desc("docId"))))
-    val losers = ranked.filter($"rn" > 1).select($"docId")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val winners = ranked.filter($"rn" === 1).drop("rn", "gen")
     winners.repartitionByRange(math.max(1, shufP / 2), $"docId")
       .sortWithinPartitions("docId")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
     val written = spark.read.parquet(s"$outDir/docs")
     val agg0 = written.agg(count(lit(1)), sum($"dl".cast("long")),
-      max($"docId"), max($"dl".cast("long"))).head()
+      max($"docId"), max($"dl".cast("long")), min($"docId")).head()
     val n = agg0.getLong(0)
     val totalTokens = agg0.getLong(1)
     val avgdl = if (n == 0) 0.0 else totalTokens.toDouble / n
     val maxDl = if (n == 0) 0L else agg0.getLong(3)
+    val minDocId = if (n == 0) 0L else agg0.getLong(4)
+    Norms.write(written.select($"docId", $"dl".cast("int"))
+      .as[(Long, Int)], outDir)
 
     // 2. postings: decode blocks (no tokenize), drop replaced docs
     //    (anti join — the loser set can be arbitrarily large in a full
     //    re-crawl, so never broadcast it)
+    // dl is NOT in the blocks (norms sidecar) — join it back from the
+    // surviving docs meta (the anti join against losers rides along)
     val decoded = gens.map(d =>
         spark.read.parquet(s"$d/segments").as[SegmentBlock])
       .reduce(_ union _)
       .flatMap { b =>
         val ds = Codec.decodeDeltas(b.docIdsEnc, b.n, b.firstDocId)
         val tfs = Codec.decodeVarByte(b.tfsEnc, b.n)
-        val dls = Codec.decodeVarByte(b.dlsEnc, b.n)
         val pos: Array[Array[Byte]] =
           if (b.posEnc == null || b.posEnc.isEmpty) null
           else Codec.decodePositionsBlock(b.posEnc, b.n)
             .map(Codec.encodePositions)
+        val term = StagedPosting.termOfSkey(b.skey)
         (0 until b.n).iterator.map(i =>
-          (b.term, ds(i), tfs(i).toInt, dls(i).toInt,
+          (term, ds(i), tfs(i).toInt,
             if (pos == null) Array.emptyByteArray else pos(i)))
       }
-      .toDF("term", "docId", "tf", "dl", "posEnc")
-      .join(losers, Seq("docId"), "left_anti")
+      .toDF("term", "docId", "tf", "posEnc")
+      .join(written.select($"docId", $"dl".cast("int").as("dl")), "docId")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 3. terms: recomputed EXACTLY from the surviving postings (a
@@ -100,7 +103,7 @@ object Compaction {
     val termsRead = spark.read.parquet(s"$outDir/terms")
     val numTerms = termsRead.count()
     val stats = IndexStats(buildId, n, avgdl, numTerms, cfg.numBuckets,
-      cfg.blockSize, agg0.getLong(2), totalTokens, maxDl)
+      cfg.blockSize, agg0.getLong(2), totalTokens, maxDl, minDocId)
     IndexPaths.writeStats(spark, outDir, stats)
     ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
       IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,
@@ -122,14 +125,13 @@ object Compaction {
           .otherwise($"term"))
       .withColumn("termHash", xxhash64($"skey"))
       .withColumn("bucket", bucketCol)
-      .select($"bucket", $"termHash", $"skey", $"term",
+      .select($"bucket", $"termHash", $"skey",
         $"docId", $"tf", $"dl", $"posEnc")
       .as[StagedPosting]
     IndexBuilder.encodeSegments(staged, stats, cfg)
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$outDir/segments")
     decoded.unpersist()
-    losers.unpersist()
     ckpt.commit(Checkpoint(buildId, "segments", 0, "COMPLETE",
       spark.read.parquet(s"$outDir/segments").count(),
       IndexPaths.dirBytes(spark, s"$outDir/segments"), lineage, t0,

@@ -233,8 +233,18 @@ object IndexBuilder {
           // the scalar oracle).
           .observe(obsDocs, count(lit(1)).as("n"),
             sum($"dl".cast("long")).as("toks"), max($"docId").as("maxId"),
-            max($"dl".cast("long")).as("maxDl"))
+            max($"dl".cast("long")).as("maxDl"),
+            min($"docId").as("minId"))
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
+      }(scala.concurrent.ExecutionContext.global)
+
+      // Norms sidecar: (docId, dl) from the cached tf — runs
+      // concurrently like the docs/terms jobs. Zero-token docs never
+      // enter postings, so their zero slots are never read.
+      val normsJob = scala.concurrent.Future {
+        timed("norms-write")(
+          Norms.write(dls.select($"docId", $"dl".cast("int"))
+            .as[(Long, Int)], outDir))
       }(scala.concurrent.ExecutionContext.global)
 
       // Per-term df; hot terms (df > saltTarget) get saltCount > 1;
@@ -297,7 +307,7 @@ object IndexBuilder {
             .otherwise($"term"))
         .withColumn("termHash", xxhash64($"skey"))
         .withColumn("bucket", bucketCol)
-        .select($"bucket", $"termHash", $"skey", $"term",
+        .select($"bucket", $"termHash", $"skey",
           $"docId", $"tf", $"dl", $"posEnc")
         .as[StagedPosting]
       // Hash-partition the staging write ON BUCKET: each bucket lands
@@ -316,6 +326,8 @@ object IndexBuilder {
         scala.concurrent.duration.Duration.Inf))
       timed("terms-job-wait")(scala.concurrent.Await.result(termsJob,
         scala.concurrent.duration.Duration.Inf))
+      timed("norms-job-wait")(scala.concurrent.Await.result(normsJob,
+        scala.concurrent.duration.Duration.Inf))
       tf.unpersist()
       val numTerms = obsTerms.get("n").asInstanceOf[Long]
       val n = obsDocs.get("n").asInstanceOf[Long]
@@ -326,9 +338,11 @@ object IndexBuilder {
         if (n == 0) -1L else obsDocs.get("maxId").asInstanceOf[Long]
       val maxDl =
         if (n == 0) 0L else obsDocs.get("maxDl").asInstanceOf[Long]
+      val minDocId =
+        if (n == 0) 0L else obsDocs.get("minId").asInstanceOf[Long]
       IndexPaths.writeStats(spark, outDir,
         IndexStats(buildId, n, avgdl, numTerms, cfg.numBuckets,
-          cfg.blockSize, maxDocId, totalToks, maxDl))
+          cfg.blockSize, maxDocId, totalToks, maxDl, minDocId))
       ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
         IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,
         System.currentTimeMillis()))
@@ -407,7 +421,6 @@ object IndexBuilder {
           private var blockId = 0
           private val dBuf = new Array[Long](blockSize)
           private val tBuf = new Array[Long](blockSize)
-          private val lBuf = new Array[Long](blockSize)
           private val pBuf = new java.io.ByteArrayOutputStream()
           private var pAny = false
           private var pending: SegmentBlock = _
@@ -427,7 +440,6 @@ object IndexBuilder {
                      cur.termHash == head.termHash && cur.skey == head.skey) {
                 dBuf(m) = cur.docId
                 tBuf(m) = cur.tf.toLong
-                lBuf(m) = cur.dl.toLong
                 if (cur.posEnc != null && cur.posEnc.length > 0) {
                   pBuf.write(cur.posEnc, 0, cur.posEnc.length)
                   pAny = true
@@ -441,11 +453,10 @@ object IndexBuilder {
               val first = dBuf(0)
               pending = SegmentBlock(
                 bucketOf(head.termHash, stats.numBuckets), head.termHash,
-                head.skey, head.term, blockId, m, first, last,
+                head.skey, blockId, m, first, last,
                 maxTf, minDl,
                 Codec.encodeDeltas(java.util.Arrays.copyOf(dBuf, m), first),
                 Codec.encodeVarByte(java.util.Arrays.copyOf(tBuf, m)),
-                Codec.encodeVarByte(java.util.Arrays.copyOf(lBuf, m)),
                 if (pAny) pBuf.toByteArray else Array.emptyByteArray)
               blockId += 1
             }

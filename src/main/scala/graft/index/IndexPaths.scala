@@ -65,14 +65,15 @@ object IndexPaths {
         s""""avgdl":${s.avgdl},"numTerms":${s.numTerms},""" +
         s""""numBuckets":${s.numBuckets},"blockSize":${s.blockSize},""" +
         s""""maxDocId":${s.maxDocId},"totalTokens":${s.totalTokens},""" +
-        s""""maxDl":${s.maxDl}}""")
+        s""""maxDl":${s.maxDl},"minDocId":${s.minDocId}}""")
 
   def readStats(spark: SparkSession, dir: String): IndexStats = {
     val m = parseFlatJson(readString(spark, s"$dir/stats.json"))
     IndexStats(m("buildId"), m("numDocs").toLong, m("avgdl").toDouble,
       m("numTerms").toLong, m("numBuckets").toInt, m("blockSize").toInt,
       m("maxDocId").toLong, m.getOrElse("totalTokens", "0").toLong,
-      m.getOrElse("maxDl", "0").toLong)
+      m.getOrElse("maxDl", "0").toLong,
+      m.getOrElse("minDocId", "0").toLong)
   }
 
   /** Parse a flat one-level JSON object with string/number values. */

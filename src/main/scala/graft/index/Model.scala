@@ -15,17 +15,22 @@ case class DocMeta(docId: Long, url: String, dl: Int)
 
 /** A staged posting after tokenize+tf, salted and bucketed, ready for
   * the merge-by-term range shuffle. `skey` is the storage key (term or
-  * salted term), `termHash` hashes `skey`. df lives ONLY in the term
-  * dictionary — carrying it per posting paid ~8 bytes × |postings| of
-  * shuffle for a value the serve path reads from TermMeta anyway.
+  * salted sub-run `term#N`) — the raw term is NOT carried: the
+  * tokenizer admits only [a-z0-9], so term == skey up to '#'
+  * ([[termOfSkey]]), and df lives only in the dictionary. Every
+  * redundant byte here multiplies by |postings| through the two
+  * biggest shuffles and the at-rest format.
   */
 case class StagedPosting(bucket: Int, termHash: Long, skey: String,
-                         term: String, docId: Long, tf: Int,
+                         docId: Long, tf: Int,
                          dl: Int, posEnc: Array[Byte])
 
 /** One compressed posting block: up to `blockSize` postings of one
   * storage key, sorted by docId; docIds delta+varbyte encoded against
-  * `firstDocId`, tfs and dls varbyte. `posEnc` (build flag
+  * `firstDocId`, tfs varbyte. Document lengths live in the per-docId
+  * norms sidecar ([[Norms]]) — NOT per posting: ~1.5 B/posting saved
+  * at rest and a third less decode per block; `minDl` metadata keeps
+  * the block-max bound exact. `posEnc` (build flag
   * `withPositions`) concatenates per-posting token-position lists
   * ([count][delta positions], varbyte) in posting order — the
   * positional tier that serves phrase queries from the index; empty
@@ -42,10 +47,10 @@ case class StagedPosting(bucket: Int, termHash: Long, skey: String,
   * done losslessly: metadata that lets the reader skip work.
   */
 case class SegmentBlock(bucket: Int, termHash: Long, skey: String,
-                        term: String, blockId: Int, n: Int,
+                        blockId: Int, n: Int,
                         firstDocId: Long, lastDocId: Long,
                         maxTf: Int, minDl: Int, docIdsEnc: Array[Byte],
-                        tfsEnc: Array[Byte], dlsEnc: Array[Byte],
+                        tfsEnc: Array[Byte],
                         posEnc: Array[Byte])
 
 /** Global index statistics (the `stats.json` sidecar). `totalTokens`
@@ -57,12 +62,22 @@ case class SegmentBlock(bucket: Int, termHash: Long, skey: String,
 case class IndexStats(buildId: String, numDocs: Long, avgdl: Double,
                       numTerms: Long, numBuckets: Int, blockSize: Int,
                       maxDocId: Long, totalTokens: Long,
-                      maxDl: Long = 0L)
+                      maxDl: Long = 0L, minDocId: Long = 0L)
 
 /** Per-unit build checkpoint with lineage + metrics — the direct
   * descendant of the reference's resumable DownloadChunk
   * (/root/reference/packages/core/spheraform_core/models/job.py:115-167).
   */
+object StagedPosting {
+  /** Inverse of the salt-key encoding: term == skey up to the first
+    * '#' (tokens are [a-z0-9]+, so '#' only ever comes from salting).
+    */
+  def termOfSkey(skey: String): String = {
+    val i = skey.indexOf('#')
+    if (i < 0) skey else skey.substring(0, i)
+  }
+}
+
 case class Checkpoint(buildId: String, stage: String, unit: Int,
                       status: String, rowCount: Long, bytes: Long,
                       lineage: String, startedMs: Long, finishedMs: Long)

@@ -1,0 +1,120 @@
+package graft.index
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Document-length norms sidecar (SCALE.md: the Lucene-style evolution
+  * of storing dl per posting).
+  *
+  * Layout: `<gen>/norms/s<strideId>.bin`, one fixed-width 4-byte
+  * big-endian int per docId, `Stride` docIds per file, strideId =
+  * docId >>> StrideLog (GLOBAL stride grid — docIds are dense global
+  * ranks, so a lookup is one seek-free array index after the stride
+  * buffer loads). Slots outside the generation's [minDocId, maxDocId]
+  * stay zero (a docId never appears in postings of a generation that
+  * doesn't own it, so zeros are never read).
+  *
+  * Why a sidecar: dl varbyte in every posting block costs
+  * ~1.5 B/posting ≈ 250 TB at the 10^12-doc scale, against 4 B/doc ≈
+  * 4 TB as norms (62× less), and posting decode shrinks by a third.
+  * A gather task touches only the strides its docId window [lo, hi)
+  * overlaps — at 4 MB per stride file that is (hi−lo)/2^20 files,
+  * bounded by choosing numRanges so windows fit executor memory.
+  */
+object Norms {
+
+  val StrideLog = 20
+  val Stride: Long = 1L << StrideLog
+
+  def strideOf(docId: Long): Long = docId >>> StrideLog
+
+  def filePath(dir: String, strideId: Long): String =
+    s"$dir/norms/s$strideId.bin"
+
+  /** Hadoop Configuration is not Serializable; executors rebuilding
+    * readers need it shipped. Mirrors the (private[spark])
+    * SerializableConfiguration utility.
+    */
+  final class SerConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** One generation's routing metadata (broadcast to tasks). */
+  case class GenMeta(dir: String, minDocId: Long, maxDocId: Long)
+
+  /** Task-local lazy norms reader over several generations: routes a
+    * docId to its owning generation (ranges are disjoint), loads that
+    * stride's 4 MB buffer once, then lookups are array reads.
+    */
+  final class Reader(gens: Array[GenMeta], conf: SerConf) {
+    private val cache =
+      new java.util.HashMap[(Int, Long), Array[Byte]]()
+
+    private def load(g: Int, strideId: Long): Array[Byte] = {
+      val key = (g, strideId)
+      var buf = cache.get(key)
+      if (buf == null) {
+        val p = new Path(filePath(gens(g).dir, strideId))
+        val fs = p.getFileSystem(conf.value)
+        val in = fs.open(p)
+        try {
+          buf = new Array[Byte]((Stride * 4).toInt)
+          in.readFully(0L, buf)
+        } finally in.close()
+        cache.put(key, buf)
+      }
+      buf
+    }
+
+    def dl(docId: Long): Long = {
+      var g = 0
+      while (g < gens.length &&
+             (docId < gens(g).minDocId || docId > gens(g).maxDocId)) g += 1
+      require(g < gens.length, s"docId $docId outside every generation")
+      val buf = load(g, strideOf(docId))
+      val off = ((docId & (Stride - 1)) * 4).toInt
+      ((buf(off) & 0xffL) << 24) | ((buf(off + 1) & 0xffL) << 16) |
+        ((buf(off + 2) & 0xffL) << 8) | (buf(off + 3) & 0xffL)
+    }
+  }
+
+  /** Write the norms files for one generation from its (docId, dl)
+    * rows. Distributed: each stride is owned by exactly one task
+    * (groupByKey on strideId), which fills a 4 MB buffer and writes
+    * the file — no driver bottleneck, no cross-task file contention.
+    */
+  def write(docDl: org.apache.spark.sql.Dataset[(Long, Int)],
+            dir: String): Unit = {
+    val spark = docDl.sparkSession
+    import spark.implicits._
+    val conf = new SerConf(spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(conf)
+    val target = dir
+    docDl.groupByKey(x => strideOf(x._1))
+      .mapGroups { (sid: Long, it: Iterator[(Long, Int)]) =>
+        val buf = new Array[Byte]((Stride * 4).toInt)
+        it.foreach { case (docId, dl) =>
+          val off = ((docId & (Stride - 1)) * 4).toInt
+          buf(off) = (dl >>> 24).toByte
+          buf(off + 1) = (dl >>> 16).toByte
+          buf(off + 2) = (dl >>> 8).toByte
+          buf(off + 3) = dl.toByte
+        }
+        val p = new Path(filePath(target, sid))
+        val fs = p.getFileSystem(bc.value.value)
+        val out = fs.create(p, true)
+        try out.write(buf) finally out.close()
+        sid
+      }
+      .count() // materialize the writes
+  }
+}

@@ -111,6 +111,15 @@ object Searcher {
       .flatMap(d => graft.index.Incremental.readTombstones(spark, d)).toSet
     val bcTomb = spark.sparkContext.broadcast(tombstones)
     val noTomb = tombstones.isEmpty
+    // norms-sidecar routing: generation dirs + docId ranges + the
+    // Hadoop conf (tasks open stride files lazily, 4 MB each)
+    val bcGens = spark.sparkContext.broadcast(
+      indexDirs.zip(statsList).map { case (d, st) =>
+        graft.index.Norms.GenMeta(d, st.minDocId, st.maxDocId)
+      }.toArray)
+    val bcConf = spark.sparkContext.broadcast(
+      new graft.index.Norms.SerConf(
+        spark.sparkContext.hadoopConfiguration))
     val nTotal = statsList.map(_.numDocs).sum
     val tokTotal = statsList.map(_.totalTokens).sum
     val stats = statsList.head.copy(
@@ -251,13 +260,20 @@ object Searcher {
             .as[SegmentBlock]
         }.reduce(_ union _)
         val kLocal = depth
-        pBlocks.flatMap { b =>
-          bcProbe.value.getOrElse(b.skey, Seq.empty).iterator.flatMap {
-            case (qid, idf) =>
-              val tfs = graft.index.Codec.decodeVarByte(b.tfsEnc, b.n)
-              val dls = graft.index.Codec.decodeVarByte(b.dlsEnc, b.n)
-              (0 until b.n).iterator.map(i =>
-                (qid, BM25.score(tfs(i), dls(i), avgdlP, idf)))
+        val bcGensP = bcGens
+        val bcConfP = bcConf
+        pBlocks.mapPartitions { it =>
+          val norms = new graft.index.Norms.Reader(bcGensP.value,
+            bcConfP.value)
+          it.flatMap { b =>
+            bcProbe.value.getOrElse(b.skey, Seq.empty).iterator.flatMap {
+              case (qid, idf) =>
+                val tfs = graft.index.Codec.decodeVarByte(b.tfsEnc, b.n)
+                val ds = graft.index.Codec.decodeDeltas(b.docIdsEnc,
+                  b.n, b.firstDocId)
+                (0 until b.n).iterator.map(i =>
+                  (qid, BM25.score(tfs(i), norms.dl(ds(i)), avgdlP, idf)))
+            }
           }
         }
           .groupByKey(_._1)
@@ -363,10 +379,12 @@ object Searcher {
                  else ((r.toLong + 1) * maxDoc + ranges - 1) / ranges
         // group blocks per (termIdx, skey) → cursors
         val bySkey = it.toSeq.groupBy(x => (x._3, x._5.skey))
+        val norms = new graft.index.Norms.Reader(bcGens.value,
+          bcConf.value)
         val cursors = bySkey.map { case ((tIdx, _), rows) =>
           val idf = rows.head._4
           val bs = rows.map(_._5).sortBy(_.firstDocId).toArray
-          new Cursor(tIdx, idf, bs, avgdl, lo, hi)
+          new Cursor(tIdx, idf, bs, avgdl, lo, hi, norms.dl)
         }.toArray
         val floor = bcTheta0.value.getOrElse(qid, Double.NegativeInfinity)
         val mask: Long => Boolean =
@@ -490,7 +508,8 @@ object Searcher {
           scala.collection.mutable.ArrayBuffer.empty[Cursor])
         bySkey.foreach { case ((ti, _), rows) =>
           val bs = rows.map(_._3).sortBy(_.firstDocId).toArray
-          byTerm(ti) += new Cursor(ti, 0.0, bs, 1.0, lo, hi)
+          // phrase matching never scores → no norms lookup needed
+          byTerm(ti) += new Cursor(ti, 0.0, bs, 1.0, lo, hi, _ => 1L)
         }
         val slotGroups = slotIdxs.map(ti => byTerm(ti).toArray)
         Wand.phraseDocs(slotGroups).iterator

@@ -15,7 +15,8 @@ import graft.index.{Codec, SegmentBlock}
   */
 final class Cursor(val termIdx: Int, val idf: Double,
                    blocks: Array[SegmentBlock], avgdl: Double,
-                   lo: Long, hi: Long) {
+                   lo: Long, hi: Long,
+                   dlOf: Long => Long = null) {
 
   /** Exact upper bound of a block under CURRENT stats: BM25 is
     * monotone ↑ in tf and ↓ in dl.
@@ -30,7 +31,6 @@ final class Cursor(val termIdx: Int, val idf: Double,
   private var bi = 0               // current block index
   private var docs: Array[Long] = _
   private var tfs: Array[Long] = _
-  private var dls: Array[Long] = _
   private var pi = 0               // position inside decoded block
   var curDoc: Long = -1L
 
@@ -52,7 +52,6 @@ final class Cursor(val termIdx: Int, val idf: Double,
     val b = blocks(bi)
     docs = Codec.decodeDeltas(b.docIdsEnc, b.n, b.firstDocId)
     tfs = Codec.decodeVarByte(b.tfsEnc, b.n)
-    dls = Codec.decodeVarByte(b.dlsEnc, b.n)
     poss = null // positions decode lazily — only phrase queries pay
     pi = 0
   }
@@ -102,8 +101,10 @@ final class Cursor(val termIdx: Int, val idf: Double,
 
   def next(): Long = advanceTo(curDoc + 1)
 
-  /** BM25 contribution of the current posting. */
-  def score: Double = BM25.score(tfs(pi), dls(pi), avgdl, idf)
+  /** BM25 contribution of the current posting — dl comes from the
+    * norms sidecar lookup, not the block (see [[graft.index.Norms]]).
+    */
+  def score: Double = BM25.score(tfs(pi), dlOf(docs(pi)), avgdl, idf)
 }
 
 /** Bounded min-heap of (score, docId) with the north rule's tie-break:

@@ -22,7 +22,7 @@ class ResumeSpec extends AnyFunSuite {
       .map(b => s"${b.bucket}|${b.termHash}|${b.skey}|${b.blockId}|" +
         s"${b.n}|${b.firstDocId}|${b.lastDocId}|${b.maxTf}|${b.minDl}|" +
         s"${b.docIdsEnc.mkString(",")}|${b.tfsEnc.mkString(",")}|" +
-        s"${b.dlsEnc.mkString(",")}")
+        s"${b.posEnc.mkString(",")}")
       .sorted.toSeq
   }
 

@@ -50,8 +50,9 @@ class SkewSpec extends AnyFunSuite {
     val hotMeta = spark.read.parquet(s"$saltedDir/terms")
       .filter($"term" === "hot").as[TermMeta].head()
     assert(hotMeta.saltCount > 1, "hot term must be salted")
+    // segments carry only skey (term == skey up to '#')
     val subRunSizes = spark.read.parquet(s"$saltedDir/segments")
-      .filter($"term" === "hot")
+      .filter($"skey" === "hot" || $"skey".startsWith("hot#"))
       .groupBy($"skey").agg(sum($"n").as("postings"))
       .as[(String, Long)].collect().toMap
     assert(subRunSizes.size == hotMeta.saltCount)
@@ -59,7 +60,7 @@ class SkewSpec extends AnyFunSuite {
       s"sub-run exceeds 2x saltTarget: $subRunSizes")
     // plain index holds the whole run under one key
     val plainRun = spark.read.parquet(s"$plainDir/segments")
-      .filter($"term" === "hot").agg(sum($"n")).head().getLong(0)
+      .filter($"skey" === "hot").agg(sum($"n")).head().getLong(0)
     assert(plainRun == subRunSizes.values.sum)
 
     // (b) rank-identical results either way, incl. the hot query

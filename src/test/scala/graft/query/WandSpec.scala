@@ -20,20 +20,26 @@ class WandSpec extends AnyFunSuite {
       case (chunk, bi) =>
         val ds = chunk.map(_._1).toArray
         val tfs = chunk.map(_._2.toLong).toArray
-        val dls = chunk.map(_._3.toLong).toArray
-        SegmentBlock(0, 0L, skey, skey, bi, ds.length, ds.head,
+        SegmentBlock(0, 0L, skey, bi, ds.length, ds.head,
           ds.last, chunk.map(_._2).max, chunk.map(_._3).min,
           Codec.encodeDeltas(ds, ds.head),
-          Codec.encodeVarByte(tfs), Codec.encodeVarByte(dls),
+          Codec.encodeVarByte(tfs),
           Array.emptyByteArray)
     }.toArray
   }
 
+  /** dl lookup standing in for the norms sidecar. */
+  private def dlOf(postings: Seq[(Long, Int, Int)]): Long => Long = {
+    val m = postings.map(p => p._1 -> p._3.toLong).toMap
+    d => m(d)
+  }
+
   private def mkCursor(termIdx: Int, blocks: Array[SegmentBlock],
-                       n: Long, df: Long, lo: Long = 0L,
+                       n: Long, df: Long, dl: Long => Long,
+                       lo: Long = 0L,
                        hi: Long = Long.MaxValue): Cursor = {
     val idf = BM25.idf(n, df)
-    new Cursor(termIdx, idf, blocks, avgdl, lo, hi)
+    new Cursor(termIdx, idf, blocks, avgdl, lo, hi, dl)
   }
 
   private def randPostings(rnd: Random, maxDoc: Long,
@@ -54,10 +60,10 @@ class WandSpec extends AnyFunSuite {
         val count = 1 + rnd.nextInt(300)
         val postings = randPostings(rnd, 2000L, count)
         val df = postings.size.toLong
-        (mkBlocks(s"t$t", postings, blockSize), t, df)
+        (mkBlocks(s"t$t", postings, blockSize), t, df, dlOf(postings))
       }
-      def cursors() = cursorSets.map { case (bs, t, df) =>
-        mkCursor(t, bs, n, df)
+      def cursors() = cursorSets.map { case (bs, t, df, dl) =>
+        mkCursor(t, bs, n, df, dl)
       }.toArray
       val a = Wand.exhaustiveOr(cursors(), k)
       val b = Wand.wandOr(cursors(), k)
@@ -73,10 +79,11 @@ class WandSpec extends AnyFunSuite {
       val k = 1 + rnd.nextInt(10)
       val sets = (0 until numTerms).map { t =>
         val ps = randPostings(rnd, 1500L, 1 + rnd.nextInt(250))
-        (mkBlocks(s"t$t", ps, 1 + rnd.nextInt(12)), t, ps.size.toLong)
+        (mkBlocks(s"t$t", ps, 1 + rnd.nextInt(12)), t, ps.size.toLong,
+          dlOf(ps))
       }
-      def cursors() = sets.map { case (bs, t, df) =>
-        mkCursor(t, bs, n, df) }.toArray
+      def cursors() = sets.map { case (bs, t, df, dl) =>
+        mkCursor(t, bs, n, df, dl) }.toArray
       val want = Wand.exhaustiveOr(cursors(), k)
       if (want.nonEmpty) {
         // the hardest floor that is still a valid lower bound on the
@@ -97,7 +104,8 @@ class WandSpec extends AnyFunSuite {
       val lo = rnd.nextInt(500).toLong
       val hi = lo + 1 + rnd.nextInt(500)
       val got = Wand.wandOr(
-        Array(mkCursor(0, blocks, n, postings.size.toLong, lo, hi)), 50)
+        Array(mkCursor(0, blocks, n, postings.size.toLong,
+          dlOf(postings), lo, hi)), 50)
       val want = postings.filter(p => p._1 >= lo && p._1 < hi)
         .map { case (d, tf, dl) =>
           (d, BM25.score(tf.toLong, dl.toLong, avgdl,
@@ -119,7 +127,8 @@ class WandSpec extends AnyFunSuite {
       }
       val groups = lists.zipWithIndex.sortBy(_._1.size).map {
         case (ps, t) =>
-          Array(mkCursor(t, mkBlocks(s"t$t", ps, 7), n, ps.size.toLong))
+          Array(mkCursor(t, mkBlocks(s"t$t", ps, 7), n, ps.size.toLong,
+            dlOf(ps)))
       }.toArray
       val got = Wand.intersectAnd(groups, k)
       // naive
@@ -162,10 +171,10 @@ class WandSpec extends AnyFunSuite {
           val dls = chunk.map(x => docs(x._1).size.toLong).toArray
           val pos = new java.io.ByteArrayOutputStream()
           chunk.foreach(c => pos.write(Codec.encodePositions(c._2)))
-          SegmentBlock(0, 0L, term, term, bi, ds.length, ds.head,
+          SegmentBlock(0, 0L, term, bi, ds.length, ds.head,
             ds.last, tfs.max.toInt, dls.min.toInt,
             Codec.encodeDeltas(ds, ds.head),
-            Codec.encodeVarByte(tfs), Codec.encodeVarByte(dls),
+            Codec.encodeVarByte(tfs),
             pos.toByteArray)
         }.toArray
       }
@@ -173,7 +182,8 @@ class WandSpec extends AnyFunSuite {
       val groups = phrase.map { t =>
         val blks = blocksFor(t, bs)
         if (blks.isEmpty) Array.empty[Cursor]
-        else Array(new Cursor(0, 0.0, blks, avgdl, 0L, Long.MaxValue))
+        else Array(new Cursor(0, 0.0, blks, avgdl, 0L, Long.MaxValue,
+          _ => 1L))
       }.toArray
       val got = Wand.phraseDocs(groups).toSeq.sorted
       val needle = " " + phrase.mkString(" ") + " "
@@ -195,9 +205,10 @@ class WandSpec extends AnyFunSuite {
     val subs = postings.groupBy(p =>
       graft.index.IndexBuilder.saltOf(p._1, 3))
       .toSeq.map { case (s, ps) => mkBlocks(s"t#$s", ps, 16) }
-    val unsalted = Wand.wandOr(Array(mkCursor(0, whole, n, df)), 20)
+    val dl = dlOf(postings)
+    val unsalted = Wand.wandOr(Array(mkCursor(0, whole, n, df, dl)), 20)
     val salted = Wand.wandOr(
-      subs.map(bs => mkCursor(0, bs, n, df)).toArray, 20)
+      subs.map(bs => mkCursor(0, bs, n, df, dl)).toArray, 20)
     assert(unsalted.toSeq == salted.toSeq)
   }
 }
