@@ -197,6 +197,32 @@ object OracleSql {
        |FROM embeddings CROSS JOIN q WHERE vec_id <> $queryId
        |ORDER BY cos_r DESC, vec_id LIMIT $k""".stripMargin
 
+  /** Mirror of [[graft.pipeline.Similarity.ivfTopK]]: same centroid
+    * set (vec_id < numCentroids), same ROUNDED-similarity assignment
+    * with cid tie-break, same probe rule — the candidate set is
+    * identical by construction, then exact rerank.
+    */
+  def ivfTopK(queryId: Long, k: Int, numCentroids: Int,
+              probes: Int): String =
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+       |  FROM embeddings WHERE vec_id < $numCentroids),
+       |q AS (SELECT embedding AS qv FROM embeddings
+       |  WHERE vec_id = $queryId),
+       |prb AS (SELECT cid FROM cents CROSS JOIN q
+       |  ORDER BY round(list_cosine_similarity(cvec, qv), 4) DESC, cid
+       |  LIMIT $probes),
+       |assign AS (SELECT e.vec_id AS vid,
+       |    (SELECT c.cid FROM cents c
+       |     ORDER BY round(list_cosine_similarity(e.embedding, c.cvec),
+       |       4) DESC, c.cid LIMIT 1) AS cid
+       |  FROM embeddings e),
+       |cand AS (SELECT vid FROM assign
+       |  WHERE cid IN (SELECT cid FROM prb) AND vid <> $queryId)
+       |SELECT e.vec_id,
+       |  round(list_cosine_similarity(e.embedding, qv), 4) AS cos_r
+       |FROM embeddings e JOIN cand ON cand.vid = e.vec_id CROSS JOIN q
+       |ORDER BY cos_r DESC, e.vec_id LIMIT $k""".stripMargin
+
   def knnJoin(numQueries: Int, k: Int): String =
     s"""SELECT qid, nid, cos_r, CAST(rank AS BIGINT) AS rank FROM (
        |  SELECT q.vec_id AS qid, e.vec_id AS nid,

@@ -246,6 +246,13 @@ object SparkEntry {
     "ft_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+    "ft_token_count" -> ((s, d) =>
+      // token counting two ways: whitespace words and a BPE-ish
+      // subword regex (letter runs, single digits, single marks)
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.wsTokenCount(col("text")).as("ws_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")),
     // ---- dedup pipeline --------------------------------------------
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
@@ -266,6 +273,9 @@ object SparkEntry {
     "sim_lsh_ann" -> ((s, d) =>
       Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         1L, 20, numPlanes = 6)),
+    "sim_ivf_ann" -> ((s, d) =>
+      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        2L, 20, numCentroids = 16, probes = 4)),
     // ---- additional relational surface ------------------------------
     "ft_phrase" -> ((s, d) =>
       // phrase search = AND candidates + exact token-adjacency verify;
@@ -320,6 +330,16 @@ object SparkEntry {
     "st_stream_agg" -> ((s, d) => Streaming.streamAgg(s, d)),
     // ---- multimodal plumbing (binary html column → extracted text;
     //      expected output HAND-AUTHORED, not extractor-derived) -----
+    "mm_sniff" -> ((s, d) => {
+      import s.implicits._
+      // binary-column typed-metadata extraction: magic-byte
+      // content-type detection over hand-authored payloads
+      data.ExtractFixtures.sniff.map { case (id, bytes, _) => (id, bytes) }
+        .toDF("fixture_id", "payload")
+        .select(col("fixture_id"),
+          TextOps.sniffType(col("payload")).as("content_type"))
+        .orderBy("fixture_id")
+    }),
     "mm_extract" -> ((s, d) => {
       import s.implicits._
       data.ExtractFixtures.all
@@ -471,7 +491,17 @@ object SparkEntry {
       "CAST(sum(user_id) AS BIGINT) AS sum_users FROM events " +
       "GROUP BY event_type ORDER BY event_type"),
     "dedup_simhash" -> OracleSql.simhash,
-    "mm_extract" -> data.ExtractFixtures.oracleSql
+    "mm_extract" -> data.ExtractFixtures.oracleSql,
+    "mm_sniff" -> data.ExtractFixtures.sniffOracleSql,
+    "sim_ivf_ann" -> OracleSql.ivfTopK(2L, 20, 16, 4),
+    "ft_token_count" -> ("SELECT doc_id, " +
+      "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), " +
+      "x -> x <> '')) AS BIGINT) AS ws_tokens, " +
+      // DuckDB string literals keep backslashes verbatim — the Scala
+      // pattern string passes through unchanged
+      s"CAST(len(regexp_extract_all(lower(text), " +
+      s"'${TextOps.BpePattern}')) AS BIGINT) " +
+      "AS bpe_tokens FROM documents ORDER BY doc_id")
     // sim_lsh_ann: engine-only (recall-tested approximate operator —
     // no equality oracle by construction).
   )

@@ -34,6 +34,32 @@ object ExtractFixtures {
     (18L, "before<p>only this</p>after", "only this"),
     (19L, "<p>gt first &gt;&amp;&lt; mixed</p>", "gt first >&< mixed"))
 
+  /** Binary sniff fixtures: (id, payload bytes, expected content
+    * type). Magic-byte prefixes hand-encoded — gzip, png, jpeg, pdf,
+    * zip, html, utf8-bom text, plain/unknown.
+    */
+  val sniff: Seq[(Long, Array[Byte], String)] = Seq(
+    (0L, Array(0x1f, 0x8b, 0x08, 0x00).map(_.toByte), "gzip"),
+    (1L, Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a).map(_.toByte), "png"),
+    (2L, Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte), "jpeg"),
+    (3L, "%PDF-1.7 blah".getBytes("UTF-8"), "pdf"),
+    (4L, Array(0x50, 0x4b, 0x03, 0x04, 0x14).map(_.toByte), "zip"),
+    (5L, "<html><p>x</p></html>".getBytes("UTF-8"), "html"),
+    (6L, "<!DOCTYPE html><html></html>".getBytes("UTF-8"), "html"),
+    (7L, Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "hello".getBytes("UTF-8"), "text-bom"),
+    (8L, "just some plain bytes".getBytes("UTF-8"), "unknown"),
+    (9L, Array[Byte](0x00, 0x01, 0x02), "unknown"),
+    (10L, Array.emptyByteArray, "unknown"),
+    (11L, "<HTML>UPPER</HTML>".getBytes("UTF-8"), "html"))
+
+  def sniffOracleSql: String = {
+    val rows = sniff.map { case (id, _, t) => s"($id, '$t')" }
+      .mkString(", ")
+    s"SELECT * FROM (VALUES $rows) AS t(fixture_id, content_type) " +
+      "ORDER BY fixture_id"
+  }
+
   /** DuckDB VALUES-list oracle over the SAME hand-authored expected
     * strings (no table involved — fixtures are committed constants).
     */

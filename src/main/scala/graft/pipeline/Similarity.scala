@@ -122,6 +122,53 @@ object Similarity {
       }
   }
 
+  /** IVF-flat approximate NN: a data-derived coarse quantizer (the
+    * first `numCentroids` vectors — deterministic and SQL-mirrorable)
+    * partitions the corpus by max-cosine centroid; a query probes its
+    * top `probes` centroids and exact-reranks ONLY vectors assigned
+    * there — the candidate set shrinks ~numCentroids/probes-fold and
+    * each inverted list is an independent partition at scale.
+    * Assignment compares similarities ROUNDED to 4 dp (ties → lower
+    * centroid id): the rounding is what lets DuckDB reproduce the
+    * exact candidate rule despite float-vs-double accumulation
+    * differences, so the operator is equality-checked end to end even
+    * though it is approximate vs brute force (recall measured by
+    * test).
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, numCentroids: Int = 16,
+              probes: Int = 4): DataFrame = {
+    val cents = emb.filter(col(idCol) < numCentroids)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+    // assignment: per vector, argmax_{c} round(cos, 4), tie → min cid.
+    // struct-max instead of a window: map-side combinable, no
+    // per-vector sort — the shape that survives 10^9 vectors.
+    val sims = emb.select(col(idCol).cast("long").as("vid"),
+        col(vecCol).as("vvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(cosine(col("vvec"), col("cvec")), 4))
+    val assigned = sims
+      .groupBy(col("vid"))
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vid"), (-col("m.ncid")).cast("long").as("cid"))
+    val qVec = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Float](0)
+    val qArr = array(qVec.map(v => lit(v)).toSeq: _*)
+    val qProbes = cents
+      .withColumn("qsim", round(cosine(col("cvec"), qArr), 4))
+      .orderBy(desc("qsim"), col("cid"))
+      .limit(probes).select(col("cid"))
+      .collect().map(_.getLong(0)).toSeq
+    assigned
+      .filter(col("cid").isin(qProbes: _*) && col("vid") =!= queryId)
+      .join(emb.select(col(idCol).cast("long").as("vid"),
+        col(vecCol).as("vvec")), "vid")
+      .select(col("vid").as("vec_id"),
+        round(cosine(col("vvec"), qArr), 4).as("cos_r"))
+      .orderBy(desc("cos_r"), col("vec_id"))
+      .limit(k)
+  }
+
   /** LSH-bucketed approximate NN with multiprobe: sign-bucket every
     * vector by `numPlanes` hyperplanes, probe the query's bucket PLUS
     * the buckets reached by flipping the 1-2 planes with the smallest

@@ -53,6 +53,40 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(toks(text)).cast("long")
 
+  /** Whitespace token count (split on \s+, empties dropped). */
+  def wsTokenCount(text: Column): Column =
+    size(array_remove(split(text, "\\s+"), "")).cast("long")
+
+  /** BPE-ish subword count: letter runs, single digits, single
+    * non-alnum marks — the shape of byte-pair vocabularies where
+    * digits and punctuation split finer than words. Same regex in
+    * Java (Spark) and RE2 (DuckDB) semantics for this ASCII-safe
+    * pattern.
+    */
+  val BpePattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+      .cast("long")
+
+  /** Content-type sniff over a binary column (magic bytes) — the
+    * gzip-sniff analog of the reference done as a typed-metadata
+    * extractor for multimodal binary columns (F8 of SURVEY §2.7).
+    * First match wins: gzip, png, jpeg, pdf, zip, html (tag prefix,
+    * case-insensitive), UTF-8 BOM text, else unknown.
+    */
+  def sniffType(bin: Column): Column = {
+    val head = lower(substring(bin.cast("string"), 1, 15))
+    when(hex(substring(bin, 1, 2)) === "1F8B", lit("gzip"))
+      .when(hex(substring(bin, 1, 4)) === "89504E47", lit("png"))
+      .when(hex(substring(bin, 1, 3)) === "FFD8FF", lit("jpeg"))
+      .when(substring(bin.cast("string"), 1, 5) === "%PDF-", lit("pdf"))
+      .when(hex(substring(bin, 1, 4)) === "504B0304", lit("zip"))
+      .when(head.startsWith("<html") || head.startsWith("<!doctype"),
+        lit("html"))
+      .when(hex(substring(bin, 1, 3)) === "EFBBBF", lit("text-bom"))
+      .otherwise(lit("unknown"))
+  }
+
   /** Document fingerprint = md5 hex (matches DuckDB md5). */
   def fingerprint(text: Column): Column = md5(text)
 

@@ -100,6 +100,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall@20 = $recall < 0.8")
   }
 
+  test("IVF ANN: exact scores, subset of brute force, recall reported") {
+    import spark.implicits._
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(16)(d =>
+        (graft.Det.unit(graft.Det.h(11L, i, d)) * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", 2L, 300)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val exactScores = exact.toMap
+    val exactTop10 = exact.take(10).map(_._1).toSet
+    val approx = Similarity.ivfTopK(df, "vec_id", "embedding", 2L, 10,
+      numCentroids = 12, probes = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(approx.nonEmpty)
+    approx.foreach { case (id, c) =>
+      assert(exactScores(id) == c, s"vec $id score differs from brute force")
+    }
+    val recall = approx.count(x => exactTop10.contains(x._1)) / 10.0
+    assert(recall >= 0.5, s"recall@10 = $recall < 0.5 (probes=4/12)")
+  }
+
+  test("binary sniff classifies every hand-authored fixture") {
+    import spark.implicits._
+    val got = graft.data.ExtractFixtures.sniff
+      .map { case (id, bytes, _) => (id, bytes) }
+      .toDF("fixture_id", "payload")
+      .select(org.apache.spark.sql.functions.col("fixture_id"),
+        TextOps.sniffType(
+          org.apache.spark.sql.functions.col("payload")).as("ct"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.data.ExtractFixtures.sniff.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"fixture $id: got ${got(id)}, want $want")
+    }
+  }
+
   test("embedding block-pair join == naive all-pairs at threshold") {
     import spark.implicits._
     val vecs = (0 until 120).map { i =>
