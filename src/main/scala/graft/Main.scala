@@ -121,8 +121,14 @@ object Main {
         val baseDirs = args(2).split(",").toSeq
         val deltaDir = args(3)
         val pages = readPages(spark, src)
+        // probe against the NEWEST generation — the base's stale
+        // watermark/fingerprint would report Changed forever once any
+        // delta exists
+        val probeDir = baseDirs.maxBy(d =>
+          graft.index.Incremental.readWatermark(spark, d)
+            .map(_.getTime).getOrElse(Long.MinValue))
         val (verdict, trail) =
-          graft.index.Incremental.detectChange(pages, baseDirs.head)
+          graft.index.Incremental.detectChange(pages, probeDir)
         println(s"change probes: " + trail.map { case (p, v) =>
           s"$p=$v" }.mkString(" → ") + s" ⇒ $verdict")
         if (verdict == graft.index.Incremental.Unchanged) {
@@ -134,7 +140,11 @@ object Main {
           val fresh = graft.index.Incremental.newPages(pages, wm)
           val nFresh = fresh.count()
           val stats = graft.index.Incremental.buildDelta(fresh, baseDirs,
-            deltaDir, IndexBuilder.Config(), allowRecrawl = true)
+            deltaDir, IndexBuilder.Config(withPositions = true),
+            allowRecrawl = true)
+          // fingerprint the FULL source at delta time so the next
+          // delta's probes compare against current state
+          graft.index.Incremental.writeFingerprint(pages, deltaDir)
           val tombs =
             graft.index.Incremental.readTombstones(spark, deltaDir)
           println(s"delta over watermark=$wm: $nFresh new docs → " +

@@ -136,11 +136,26 @@ object Compaction {
       spark.read.parquet(s"$outDir/segments").count(),
       IndexPaths.dirBytes(spark, s"$outDir/segments"), lineage, t0,
       System.currentTimeMillis()))
-    // carry the newest watermark forward; tombstones are consumed
-    // (the compacted generation has none)
+    // carry the newest watermark forward
     gens.flatMap(d => Incremental.readWatermark(spark, d))
       .sortBy(_.getTime).lastOption
       .foreach(ts => Incremental.writeWatermark(spark, outDir, ts))
+    // Tombstones referring to docIds INSIDE the compacted generations
+    // are consumed (the url dedup above physically dropped those docs)
+    // — but a subset compaction (e.g. delta1+delta2 without the base)
+    // must CARRY tombstones that point at excluded generations, or the
+    // replaced base docs would resurrect in searchMulti(base, out).
+    val genRanges = gens.map { d =>
+      val st = IndexPaths.readStats(spark, d)
+      (st.minDocId, st.maxDocId)
+    }
+    val carried = gens
+      .flatMap(d => Incremental.readTombstones(spark, d)).distinct
+      .filterNot(id =>
+        genRanges.exists { case (lo, hi) => id >= lo && id <= hi })
+    if (carried.nonEmpty)
+      carried.toDF("docId").write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/tombstones")
     stats
   }
 }

@@ -421,8 +421,9 @@ object IndexBuilder {
           private var blockId = 0
           private val dBuf = new Array[Long](blockSize)
           private val tBuf = new Array[Long](blockSize)
-          private val pBuf = new java.io.ByteArrayOutputStream()
-          private var pAny = false
+          private val pBufs = new Array[Array[Byte]](blockSize)
+          private val pOut = new java.io.ByteArrayOutputStream()
+          private val pEmpty = Codec.encodePositions(Array.empty[Int])
           private var pending: SegmentBlock = _
 
           private def fill(): Unit = {
@@ -435,21 +436,39 @@ object IndexBuilder {
               var maxTf = 0
               var minDl = Int.MaxValue
               var last = 0L
-              pBuf.reset(); pAny = false
+              var pAny = false
               while (m < blockSize && cur != null &&
                      cur.termHash == head.termHash && cur.skey == head.skey) {
                 dBuf(m) = cur.docId
                 tBuf(m) = cur.tf.toLong
-                if (cur.posEnc != null && cur.posEnc.length > 0) {
-                  pBuf.write(cur.posEnc, 0, cur.posEnc.length)
-                  pAny = true
-                }
+                // buffer per posting: a block may MIX positional and
+                // non-positional postings (e.g. compaction merging a
+                // positional base with a positions-less delta) — a
+                // block with any positions must carry one
+                // count-prefixed entry PER posting or the decoder
+                // misaligns; missing ones get a zero-count entry
+                pBufs(m) =
+                  if (cur.posEnc != null && cur.posEnc.length > 0) {
+                    pAny = true; cur.posEnc
+                  } else null
                 if (cur.tf > maxTf) maxTf = cur.tf
                 if (cur.dl < minDl) minDl = cur.dl
                 last = cur.docId
                 m += 1
                 cur = if (it.hasNext) it.next() else null
               }
+              val posBytes =
+                if (!pAny) Array.emptyByteArray
+                else {
+                  pOut.reset()
+                  var pj = 0
+                  while (pj < m) {
+                    val pe = if (pBufs(pj) == null) pEmpty else pBufs(pj)
+                    pOut.write(pe, 0, pe.length)
+                    pj += 1
+                  }
+                  pOut.toByteArray
+                }
               val first = dBuf(0)
               pending = SegmentBlock(
                 bucketOf(head.termHash, stats.numBuckets), head.termHash,
@@ -457,7 +476,7 @@ object IndexBuilder {
                 maxTf, minDl,
                 Codec.encodeDeltas(java.util.Arrays.copyOf(dBuf, m), first),
                 Codec.encodeVarByte(java.util.Arrays.copyOf(tBuf, m)),
-                if (pAny) pBuf.toByteArray else Array.emptyByteArray)
+                posBytes)
               blockId += 1
             }
           }

@@ -55,7 +55,8 @@ object Norms {
     * docId to its owning generation (ranges are disjoint), loads that
     * stride's 4 MB buffer once, then lookups are array reads.
     */
-  final class Reader(gens: Array[GenMeta], conf: SerConf) {
+  final class Reader(gens: Array[GenMeta], conf: SerConf,
+                     maxCached: Int = 64) {
     private val cache =
       new java.util.HashMap[(Int, Long), Array[Byte]]()
 
@@ -63,6 +64,10 @@ object Norms {
       val key = (g, strideId)
       var buf = cache.get(key)
       if (buf == null) {
+        // bound resident strides (4 MB each): the windowed gather path
+        // touches few, but the probe path has no docId window — an
+        // unbounded cache there could retain GBs per task
+        if (cache.size >= maxCached) cache.clear()
         val p = new Path(filePath(gens(g).dir, strideId))
         val fs = p.getFileSystem(conf.value)
         val in = fs.open(p)

@@ -91,6 +91,8 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  numHashes: Int, bands: Int, threshold: Double,
                  saltCells: Int = 3): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 16,
+      s"rotation family supports 1..16 hashes (32 hex chars / 2), got $numHashes")
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = numHashes / bands

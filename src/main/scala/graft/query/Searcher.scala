@@ -349,7 +349,13 @@ object Searcher {
         .as[SegmentBlock]
     }.reduce(_ union _)
 
-    val scattered = blocks.flatMap { b =>
+    val scattered = blocks
+      // BM25 never reads positions — blank posEnc before the scatter
+      // replicates blocks per (query, range), or a positional index
+      // pays 2-3x shuffle on every plain query
+      .map(b => if (b.posEnc == null || b.posEnc.isEmpty) b
+                else b.copy(posEnc = Array.emptyByteArray))
+      .flatMap { b =>
       bcUses.value.getOrElse(b.skey, Seq.empty).iterator.flatMap {
         case (qid, tIdx, idf, residual) =>
           // MaxScore gate BEFORE the shuffle: the block's exact bound
@@ -461,6 +467,11 @@ object Searcher {
     // every phrase term must exist in at least one generation
     if (distinctTerms.exists(t => metaPerIndex.forall(!_.contains(t))))
       return Seq.empty
+    // re-crawl tombstones mask phrase results too — a replaced
+    // version must never surface from ANY evaluator
+    val phTombs: Set[Long] = indexDirs
+      .flatMap(d => graft.index.Incremental.readTombstones(spark, d)).toSet
+    val bcPhTombs = spark.sparkContext.broadcast(phTombs)
     val tIdx: Map[String, Int] = distinctTerms.zipWithIndex.toMap
     // storage keys → distinct-term index (merged across generations)
     val keyUses: Map[String, Int] = metaPerIndex.flatMap { metas =>
@@ -513,6 +524,7 @@ object Searcher {
         }
         val slotGroups = slotIdxs.map(ti => byTerm(ti).toArray)
         Wand.phraseDocs(slotGroups).iterator
+          .filterNot(bcPhTombs.value.contains)
       }
     matched.collect().sorted.toSeq
   }

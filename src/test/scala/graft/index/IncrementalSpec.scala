@@ -146,5 +146,70 @@ class IncrementalSpec extends AnyFunSuite {
     }
     assert(byUrl(Seq(compDir), 10) == byUrl(Seq(fullDir), 10),
       "compacted != full rebuild after re-crawl")
+
+    // phrase search masks tombstones too (the dead version's docId
+    // must never surface from ANY evaluator)
+    val phTerms = graft.functions.Tokenize.tokens(
+      recrawled.head.text).take(3).mkString(" ")
+    val phHits = Searcher.phraseSearch(spark, Seq(baseDir, deltaDir),
+      phTerms, numRanges = 4)
+    assert(phHits.forall(d => !tombs.contains(d)),
+      "phrase returned a tombstoned docId")
+
+    // SUBSET compaction (delta alone, base excluded) must CARRY the
+    // tombstones pointing at the base — otherwise the replaced base
+    // versions resurrect in searchMulti(base, compactedDelta)
+    val subDir = SparkTestSession.tmpDir("graft_rc_sub")
+    Compaction.compact(spark, Seq(deltaDir), subDir, cfg)
+    val carried = Incremental.readTombstones(spark, subDir)
+    assert(carried.toSet == tombs.toSet,
+      s"subset compaction lost tombstones: carried=${carried.size}")
+    val subHits = Searcher.searchMulti(spark, Seq(baseDir, subDir),
+      QuerySet.queries().take(10) :+ graft.query.QuerySpec(991L, marker),
+      10, Searcher.Or, numRanges = 4).collect()
+    assert(subHits.forall(h => !tombs.contains(h.docId)),
+      "tombstoned doc resurrected after subset compaction")
+  }
+
+  test("compaction merges positional and positions-less generations") {
+    import spark.implicits._
+    // base WITH positions, delta WITHOUT — merged blocks mix postings
+    // with and without position lists; the encoder must emit one
+    // count-prefixed entry per posting or the decoder misaligns
+    val basePages = PagesGen.pages(spark, 300L)
+    val deltaPages = spark.createDataset(
+      (0 until 80).map(i => PagesGen.row(7L, 20000L + i)))
+    val baseDir = SparkTestSession.tmpDir("graft_mix_base")
+    val deltaDir = SparkTestSession.tmpDir("graft_mix_delta")
+    val outDir = SparkTestSession.tmpDir("graft_mix_out")
+    val posCfg = cfg.copy(withPositions = true)
+    IndexBuilder.build(DocIds.fromPages(basePages, 4), baseDir, posCfg,
+      "base")
+    Incremental.buildDelta(deltaPages, Seq(baseDir), deltaDir,
+      cfg, useExtractor = false) // NO positions
+    Compaction.compact(spark, Seq(baseDir, deltaDir), outDir, posCfg)
+    // BM25 results survive the merge exactly
+    val q = QuerySet.queries().take(10)
+    val multi = Searcher.searchMulti(spark, Seq(baseDir, deltaDir), q,
+      10, Searcher.Or, numRanges = 4).collect()
+      .map(h => (h.queryId, h.rank, h.docId, h.score)).sortBy(x => (x._1, x._2))
+    val comp = Searcher.search(spark, outDir, q, 10, Searcher.Or,
+      numRanges = 4).collect()
+      .map(h => (h.queryId, h.rank, h.docId, h.score)).sortBy(x => (x._1, x._2))
+    assert(comp.toSeq == multi.toSeq, "mixed-positions compaction broke BM25")
+    // phrase over the compacted index: base-era phrases still found
+    // (positions preserved through the merge), delta docs simply
+    // cannot phrase-match (indexed without positions) — and nothing
+    // crashes on the mixed blocks
+    val byUrl = (0L until 300L).map(i => PagesGen.row(42L, i))
+      .map(p => (p.url, p.text)).sortBy(_._1).zipWithIndex
+    val sample = byUrl.collectFirst {
+      case ((_, t), r) if graft.functions.Tokenize.tokens(t).length >= 5 =>
+        (graft.functions.Tokenize.tokens(t).slice(1, 4).mkString(" "), r)
+    }.get
+    val hits = Searcher.phraseSearch(spark, Seq(outDir), sample._1,
+      numRanges = 3)
+    assert(hits.contains(sample._2.toLong),
+      s"phrase '${sample._1}' lost doc ${sample._2} through compaction")
   }
 }
