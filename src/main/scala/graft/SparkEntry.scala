@@ -328,6 +328,7 @@ object SparkEntry {
         "embedding", 0.45, numBlocks = 8)),
     // ---- streaming (§2.8) ------------------------------------------
     "st_stream_agg" -> ((s, d) => Streaming.streamAgg(s, d)),
+    "st_sessionize" -> ((s, d) => Streaming.sessionize(s, d, 30)),
     // ---- multimodal plumbing (binary html column → extracted text;
     //      expected output HAND-AUTHORED, not extractor-derived) -----
     "mm_sniff" -> ((s, d) => {
@@ -490,6 +491,20 @@ object SparkEntry {
     "st_stream_agg" -> ("SELECT event_type, count(*) AS n, " +
       "CAST(sum(user_id) AS BIGINT) AS sum_users FROM events " +
       "GROUP BY event_type ORDER BY event_type"),
+    "st_sessionize" -> ("""WITH s AS (SELECT user_id, ts, event_id,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |       OR epoch(ts) - epoch(lag(ts) OVER w) > 30*60 THEN 1
+      |       ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY ts, event_id)),
+      |g AS (SELECT user_id,
+      |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM s)
+      |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+      |  count(*) AS n_events
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_id""".stripMargin),
     "dedup_simhash" -> OracleSql.simhash,
     "mm_extract" -> data.ExtractFixtures.oracleSql,
     "mm_sniff" -> data.ExtractFixtures.sniffOracleSql,

@@ -56,6 +56,68 @@ object Streaming {
     spark.table(name).orderBy("event_type")
   }
 
+  /** Open-session state carried between micro-batches. */
+  case class SessionState(lastTsMs: Long, sessionId: Long, nEvents: Long,
+                          emitted: Long)
+
+  /** Per-user sessionization with a gap timeout, via
+    * `flatMapGroupsWithState` — the KeyValueGroupedDataset
+    * custom-state operator. Sessions close when the gap between
+    * consecutive events (event-time order, event_id tie-break)
+    * exceeds `gapMinutes`; output is one row per session
+    * (user_id, session_id, n_events). State carries the open session
+    * across micro-batches; the bounded AvailableNow drain ends the
+    * stream, so the trailing open session is final by construction
+    * and is emitted in the same invocation (a continuous deployment
+    * would hold it in state and emit on an event-time timeout).
+    * Batch-identical to the lag-plus-cumulative-breaks SQL oracle.
+    */
+  def sessionize(spark: SparkSession, dir: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = s"graft_stream_sess_${counter.incrementAndGet()}"
+    val gapMs = gapMinutes.toLong * 60000L
+    val q = spark.readStream.schema(schema)
+      .parquet(stageDir(spark, dir))
+      .select(col("user_id").cast("long"),
+        col("ts").cast("timestamp"), col("event_id").cast("long"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[SessionState]) =>
+          val evs = it.toArray.sortBy(e => (e._2.getTime, e._3))
+          var st = state.getOption.getOrElse(
+            SessionState(Long.MinValue, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long)]
+          evs.foreach { e =>
+            val t = e._2.getTime
+            if (st.lastTsMs == Long.MinValue || t - st.lastTsMs > gapMs) {
+              if (st.nEvents > 0) { // close the previous session
+                out += ((uid, st.sessionId, st.nEvents))
+              }
+              st = SessionState(t, st.sessionId + 1, 1L, st.emitted)
+            } else st = st.copy(lastTsMs = t, nEvents = st.nEvents + 1)
+          }
+          state.update(st)
+          // bounded drain: the stream ends after this batch, so the
+          // open session is final — emit it too
+          if (st.nEvents > 0) out += ((uid, st.sessionId, st.nEvents))
+          out.iterator
+      }
+      .toDF("user_id", "session_id", "n_events")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    spark.table(name).orderBy("user_id", "session_id")
+  }
+
   /** Tumbling event-time window aggregation with a watermark — the
     * canonical streaming shape; used by StreamingSpec.
     */
