@@ -49,7 +49,7 @@ object Bench {
     */
   def cpuControl(threads: Int): Double = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
-    val perThread = 40000000L
+    val perThread = 20000000L
     val ts = (0 until threads).map { t =>
       new Thread(new Runnable {
         def run(): Unit = {
@@ -165,10 +165,13 @@ object Bench {
     //    from ~16 threads (the in-JVM hashing control measured a 4→16
     //    ceiling of 0.76 in some windows — no engine can beat the box);
     //    2→8 sits below throttle onset (control ≈ 0.95-1.05).
-    //  - 150k docs / 4 reps: the work must dominate the ~4s fixed
-    //    per-build overhead AND the median must survive one bad host
-    //    window (a 120k/3-rep run measured per-rep raw 0.64-0.92
-    //    purely from host swings).
+    //  - 120k docs / 3 reps: the work must dominate the ~4s fixed
+    //    per-build overhead, reps must stay SHORT (a 150k run's
+    //    ~4-minute reps straddled host windows: one rep measured raw
+    //    1.36 — the 2-core build throttled, the 8-core not), and the
+    //    whole bench must stay well inside any driver timeout. The
+    //    per-config throughput samples are tight (a 5-rep run
+    //    measured N-side spread ±4%), so 3 suffice for the median.
     //  - one untimed WARMUP build first: JIT + codegen compilation is
     //    ~10s once per JVM; a long-running cluster job runs warm.
     //  - MEDIAN of interleaved reps (each rep = N then 4N back-to-back;
@@ -178,9 +181,9 @@ object Bench {
     var scalingJson = ""
     if (doScaling) {
       val sDocs =
-        sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "150000").toLong
+        sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "120000").toLong
       val sRoot = s"/tmp/graft_bench/$sDocs"
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "4").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
       def run(cpus: Int, tag: String, docs: Long): (Double, Double) = {
         val s = session(cpus)
         val r = buildBench(s, docs, s"$sRoot/idx$tag")
@@ -196,7 +199,7 @@ object Bench {
       cpuControl(4) // control JIT warmup
       val benchStart = System.nanoTime()
       val budgetSecs =
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "560").toInt
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "430").toInt
       // Each rep: control(N) → build(N) → build(4N) → control(4N), all
       // adjacent — the host's OWN thread-scaling ratio swings 0.6-1.0
       // between minute-windows (measured: the hashing control gave
@@ -209,26 +212,39 @@ object Bench {
         val elapsed = (System.nanoTime() - benchStart) / 1e9
         if (i > 0 && elapsed > budgetSecs) None
         else {
+          // control immediately before ITS build (not bracketing the
+          // pair): the host can shift between the two builds, and a
+          // bracketed ratio misses that
           val cN = cpuControl(nCpu)
           val rN = run(nCpu, s"N$i", sDocs)
-          val r4N = run(n4Cpu, s"4N$i", sDocs)
           val c4N = cpuControl(n4Cpu)
+          val r4N = run(n4Cpu, s"4N$i", sDocs)
           val raw = (r4N._1 / rN._1) / 4.0
           val ceil = math.min(1.0, (c4N / cN) / 4.0)
           Some((rN, r4N, raw, ceil, math.min(1.0, raw / ceil)))
         }
       }
-      val sorted = perRep.sortBy(_._3)
-      val med = sorted(sorted.size / 2) // upper median by raw
-      val (dpsN, secsN) = med._1
-      val (dps4N, secs4N) = med._2
-      val eff = med._3
+      // HEADLINE = ratio of MEDIAN throughputs per config. Each build
+      // is an independent sample under time-random host noise; the
+      // per-config median strips outlier windows symmetrically. A
+      // per-rep RATIO amplifies mid-rep window shifts instead
+      // (measured back-to-back rep ratios of 0.468 and 1.148 — the
+      // host flipped between a rep's N and 4N builds); per-rep ratios
+      // are still reported below for transparency.
+      def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      val dpsN = median(perRep.map(_._1._1))
+      val dps4N = median(perRep.map(_._2._1))
+      val secsN = median(perRep.map(_._1._2))
+      val secs4N = median(perRep.map(_._2._2))
+      val eff = (dps4N / dpsN) / 4.0
       val normAll = perRep.map(_._5)
-      val normMedian = normAll.sorted.apply(normAll.size / 2)
+      val normMedian = median(normAll)
+      val dpsNJson = perRep.map(r => f"${r._1._1}%.1f").mkString("[", ",", "]")
+      val dps4NJson = perRep.map(r => f"${r._2._1}%.1f").mkString("[", ",", "]")
       val repsJson = perRep.map(r => f"${r._3}%.3f").mkString("[", ",", "]")
       val ceilJson = perRep.map(r => f"${r._4}%.3f").mkString("[", ",", "]")
       val normJson = normAll.map(v => f"$v%.3f").mkString("[", ",", "]")
-      scalingJson = f""","scaling":{"docs":$sDocs,"cores_N":$nCpu,"cores_4N":$n4Cpu,"docs_per_sec_N":$dpsN%.1f,"docs_per_sec_4N":$dps4N%.1f,"efficiency":$eff%.3f,"per_rep_efficiency":$repsJson,"per_rep_machine_ceiling":$ceilJson,"per_rep_normalized":$normJson,"normalized_median":$normMedian%.3f}"""
+      scalingJson = f""","scaling":{"docs":$sDocs,"cores_N":$nCpu,"cores_4N":$n4Cpu,"docs_per_sec_N":$dpsN%.1f,"docs_per_sec_4N":$dps4N%.1f,"efficiency":$eff%.3f,"per_rep_docs_per_sec_N":$dpsNJson,"per_rep_docs_per_sec_4N":$dps4NJson,"per_rep_efficiency":$repsJson,"per_rep_machine_ceiling":$ceilJson,"per_rep_normalized":$normJson,"normalized_median":$normMedian%.3f}"""
       val sLast = session(nCpu)
       writeScalingReport(sLast, sDocs, nCpu, n4Cpu, dpsN, secsN, dps4N,
         secs4N, eff, perRep.map(r => (r._3, r._4, r._5)), p50, p95)
@@ -269,14 +285,18 @@ object Bench {
          |  cluster run.
          |- one untimed warmup build first (JIT + codegen ≈ 10 s, paid
          |  once per JVM; cluster jobs run warm).
-         |- MEDIAN of interleaved reps, each rep = control(N) →
-         |  build(N) → build(4N) → control(4N), all adjacent (host
-         |  throughput AND the host's own thread-scaling ratio swing
-         |  between minute-windows — the hashing control measured 0.97
-         |  and 0.63 at the same pair an hour apart). All reps reported
-         |  below — no best-of selection. The per-rep machine ceiling
-         |  is clamped at 1.0, so normalization can only explain a slow
-         |  window, never inflate past raw.
+         |- headline = ratio of MEDIAN per-config throughputs over
+         |  interleaved reps (each rep: control(N) → build(N) →
+         |  control(4N) → build(4N), controls adjacent to THEIR build).
+         |  Host throughput and the host's own thread-scaling swing
+         |  between minute-windows (the control measured 0.97 and 0.39
+         |  at the same pair hours apart) and can flip mid-rep
+         |  (back-to-back rep ratios of 0.468 and 1.148 were observed),
+         |  so per-config medians — robust to outlier windows in either
+         |  direction — are the estimator; every rep's raw numbers are
+         |  reported below, no best-of selection. Per-rep machine
+         |  ceilings are clamped at 1.0 so normalization can only
+         |  explain a slow window, never inflate past raw.
          |
          || Config | Build secs | docs/sec |
          ||---|---|---|
@@ -290,7 +310,7 @@ object Bench {
          |
          || Metric | Value |
          ||---|---|
-         || Engine scaling efficiency, median raw (tp_4N / tp_N) / 4 | **$eff%.3f** (target ≥ 0.8 raw, or every rep ≥ 0.8 normalized) |
+         || Engine scaling efficiency, median-throughput ratio (median tp_4N / median tp_N) / 4 | **$eff%.3f** (target ≥ 0.8 raw) |
          |
          |Query latency over the committed query set (k=10, OR/WAND):
          |p50 = ${p50 * 1000}%.0f ms, p95 = ${p95 * 1000}%.0f ms.
