@@ -57,8 +57,7 @@ object Streaming {
   }
 
   /** Open-session state carried between micro-batches. */
-  case class SessionState(lastTsMs: Long, sessionId: Long, nEvents: Long,
-                          emitted: Long)
+  case class SessionState(lastTsMs: Long, sessionId: Long, nEvents: Long)
 
   /** Per-user sessionization with a gap timeout, via
     * `flatMapGroupsWithState` — the KeyValueGroupedDataset
@@ -91,7 +90,7 @@ object Streaming {
          state: GroupState[SessionState]) =>
           val evs = it.toArray.sortBy(e => (e._2.getTime, e._3))
           var st = state.getOption.getOrElse(
-            SessionState(Long.MinValue, 0L, 0L, 0L))
+            SessionState(Long.MinValue, 0L, 0L))
           val out = scala.collection.mutable.ArrayBuffer
             .empty[(Long, Long, Long)]
           evs.foreach { e =>
@@ -100,7 +99,7 @@ object Streaming {
               if (st.nEvents > 0) { // close the previous session
                 out += ((uid, st.sessionId, st.nEvents))
               }
-              st = SessionState(t, st.sessionId + 1, 1L, st.emitted)
+              st = SessionState(t, st.sessionId + 1, 1L)
             } else st = st.copy(lastTsMs = t, nEvents = st.nEvents + 1)
           }
           state.update(st)

@@ -143,7 +143,6 @@ object Searcher {
     }.toMap
     val allTerms = qTerms.values.flatten.toSeq.distinct
     if (allTerms.isEmpty) return spark.emptyDataset[SearchHit]
-    val hashes = allTerms.map(IndexBuilder.xxhash)
     // per index generation: term -> meta (salt layout is per-index).
     // A driver-side cache skips the dictionary job for already-seen
     // terms (stopwords repeat constantly across queries); misses are
