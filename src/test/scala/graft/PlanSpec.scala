@@ -67,4 +67,42 @@ class PlanSpec extends AnyFunSuite {
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("dedup_embedding plans without a nested-loop join") {
+    import spark.implicits._
+    // the round-1 formulation planned a BroadcastNestedLoopJoin over
+    // the full pair space; the block join must never regress to it
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (graft.Det.unit(graft.Det.h(5L, i, d)) * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val plan = graft.pipeline.Dedup
+      .embeddingPairsExact(vecs, "vec_id", "embedding", 0.3, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"nested-loop join crept back into:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product crept back into:\n$plan")
+  }
+
+  test("IVF assignment plans as partial aggregation, not a window") {
+    import spark.implicits._
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (graft.Det.unit(graft.Det.h(6L, i, d)) * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val df = graft.pipeline.Similarity
+      .ivfTopK(vecs, "vec_id", "embedding", 1L, 5, numCentroids = 8,
+        probes = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    // struct-max argmax = map-side combinable partial agg; a window
+    // formulation would shuffle and sort every (vector, centroid) row
+    assert(plan.contains("partial_max") || plan.contains("partial_"),
+      s"no map-side partial aggregation in IVF assignment:\n$plan")
+    assert(!plan.contains("Window"),
+      s"window crept into the IVF assignment:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoop"),
+      s"centroid side not broadcast:\n$plan")
+  }
 }
