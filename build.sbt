@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through UNWRAPPED: sbt's default
+// LoggedOutput prefixes every line with [info]/[error], which breaks
+// machine-parsing of Bench's single JSON metric line (BENCH_r02.json
+// "parsed": null). With StdoutOutput the JSON line reaches stdout raw.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

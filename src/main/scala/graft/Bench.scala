@@ -254,7 +254,16 @@ object Bench {
     val qJson = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ > 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","docs_per_sec":$dps%.1f$scalingJson}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","docs_per_sec":$dps%.1f$scalingJson}"""
+    // stdout (raw — build.sbt sets run/outputStrategy := StdoutOutput
+    // so sbt does not [info]-prefix the line) AND a known file, so the
+    // driver can machine-parse the metrics either way.
+    println(line)
+    val metricsDir = java.nio.file.Paths.get("/tmp/graft_bench")
+    java.nio.file.Files.createDirectories(metricsDir)
+    java.nio.file.Files.write(metricsDir.resolve("metrics.json"),
+      (line + "\n").getBytes("UTF-8"))
   }
 
   private def writeScalingReport(spark: SparkSession, nDocs: Long,

@@ -49,25 +49,66 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double,
                    maxShingleDf: Long = 100L): DataFrame = {
-    val sh = shingled(docs, idCol, textCol)
-    val pairs0 = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
-    // hot-shingle guard: df per shingle, candidates only via cool ones
-    val cool = pairs0.groupBy(col("sh")).agg(count(lit(1)).as("sdf"))
-      .filter(col("sdf") <= maxShingleDf).select(col("sh"))
-    val pairs = pairs0.join(cool, "sh")
-    val inter = pairs.as("a")
-      .join(pairs.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // exact verify on the FULL shingle sets
-    inter
-      .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // (doc_id, shingle-hash) rows straight from the tokenizer — no
+    // shingle ARRAY is ever materialized, and every downstream
+    // shuffle/sort/agg keys on a long, not a ~25-char string (the
+    // round-2 string-keyed plan paid Seq[String] encoders + string
+    // sorts; this is the single biggest cost cut).
+    val ex = docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, tx) =>
+        TextOps.shingleHashes64Scala(tx).iterator.map(h => (id, h))
+      }
+      .toDF("doc_id", "shh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df per shingle; ONE join tags every exploded row hot/cool
+    val dfs = ex.groupBy(col("shh")).agg(count(lit(1)).as("sdf"))
+    val withDf = ex.join(dfs, "shh")
+    // Shingles are a per-doc SET ([[TextOps.shingleHashes64Scala]]
+    // dedupes), so groupBy(pair).count() over the cool self-join IS
+    // the exact shared-cool-shingle count — no distinct pass, no
+    // re-joining full shingle arrays for an array_intersect (the
+    // round-2 plan paid both and regressed 4.3×). Each cool shingle
+    // contributes ≤ maxShingleDf² join rows, so the guard bounds the
+    // pair space.
+    // No persist for `cool`: both self-join sides are the identical
+    // subtree, so ReuseExchange computes the shuffle once anyway — a
+    // persist here would only add a materialization pass.
+    val cool = withDf.filter(col("sdf") <= maxShingleDf)
+      .select(col("shh"), col("doc_id"))
+    val coolInter = cool.as("a")
+      .join(cool.as("b"),
+        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("cool_inter"))
+    // Full-set Jaccard still counts shared HOT shingles: per-doc hot
+    // sets are tiny (boilerplate only — distinct shingles with
+    // df > cap), so intersecting just those small arrays per candidate
+    // pair is cheap, and cool_inter + hot_inter equals the exact
+    // full-set intersection.
+    val hotPerDoc = withDf.filter(col("sdf") > maxShingleDf)
+      .groupBy(col("doc_id")).agg(collect_set(col("shh")).as("hotshs"))
+    // per-doc set size = row count in ex (shingles are distinct per doc)
+    val szs = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    coolInter
+      .join(szs.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
+        "doc_a")
+      .join(szs.select(col("doc_id").as("doc_b"), col("sz").as("szb")),
+        "doc_b")
+      .join(hotPerDoc.select(col("doc_id").as("doc_a"),
+        col("hotshs").as("ha")), Seq("doc_a"), "left")
+      .join(hotPerDoc.select(col("doc_id").as("doc_b"),
+        col("hotshs").as("hb")), Seq("doc_b"), "left")
+      .withColumn("hot_inter",
+        when(col("ha").isNull || col("hb").isNull, lit(0L))
+          .otherwise(size(array_intersect(col("ha"), col("hb")))
+            .cast("long")))
+      .withColumn("inter", col("cool_inter") + col("hot_inter"))
       .withColumn("jac",
         col("inter").cast("double") /
-          (size(col("sa")) + size(col("sb")) - col("inter")))
+          (col("sza") + col("szb") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac_r"))
       .orderBy("doc_a", "doc_b")

@@ -124,6 +124,44 @@ object TextOps {
     }
   }
 
+  /** Distinct word-3-gram shingles, each FNV-1a-64-hashed — the
+    * ngram-Jaccard plan keys every shuffle/sort/agg on these longs
+    * instead of ~25-char strings and never materializes a shingle
+    * array (measured: string-keyed plan 6.8 s at sf0.1, long-keyed
+    * ≈ 2×+ faster). Set semantics identical to [[shinglesScala]]
+    * modulo 64-bit collisions (birthday bound ≈ n²/2⁶⁵: ~10⁻⁹ at the
+    * test corpus's 27 k distinct shingles; a few hundred merged
+    * shingle identities at a 10¹¹-shingle corpus — immaterial for
+    * near-dup detection).
+    */
+  def shingleHashes64Scala(text: String): Array[Long] = {
+    val t = Tokenize.tokens(text)
+    if (t.length < 3) Array.emptyLongArray
+    else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      val P = 0x100000001b3L
+      var i = 0
+      while (i + 2 < t.length) {
+        var h = 0xcbf29ce484222325L
+        var w = 0
+        while (w < 3) {
+          val s = t(i + w)
+          var k = 0
+          while (k < s.length) { h = (h ^ s.charAt(k)) * P; k += 1 }
+          if (w < 2) h = (h ^ ' ') * P
+          w += 1
+        }
+        seen.add(h)
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      out
+    }
+  }
+
   /** MinHash signature: element j = min over shingles of
     * md5(j || '|' || shingle) — string min of hex digests, identically
     * computable in DuckDB (no shared 64-bit hash exists across the
