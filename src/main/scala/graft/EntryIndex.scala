@@ -74,7 +74,21 @@ object EntryIndex {
   def phraseDf(spark: SparkSession, dir: String, phrase: String): DataFrame = {
     import spark.implicits._
     val idx = ensure(spark, dir)
-    Searcher.phraseSearch(spark, Seq(idx), phrase, numRanges = 4)
+    // full hit set as a distributed dataset — never collected here
+    Searcher.phraseDocs(spark, Seq(idx), phrase, numRanges = 4)
+      .toDF("doc_id").orderBy("doc_id")
+  }
+
+  /** Engine-paged phrase serve: rows [offset, offset+limit) of the
+    * ascending-docId hit list via the bounded scatter-gather page
+    * (driver holds O(partitions × depth) ids, never the full set).
+    */
+  def phrasePageDf(spark: SparkSession, dir: String, phrase: String,
+                   limit: Int, offset: Int): DataFrame = {
+    import spark.implicits._
+    val idx = ensure(spark, dir)
+    Searcher.phraseSearch(spark, Seq(idx), phrase, numRanges = 4,
+      limit = limit, offset = offset)
       .toDF("doc_id").orderBy("doc_id")
   }
 }

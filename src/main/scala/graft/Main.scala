@@ -153,13 +153,17 @@ object Main {
         }
 
       case "phrase" =>
-        // engine-served phrase search over the positional tier
+        // engine-served phrase search over the positional tier; the
+        // CLI shows the first page only — ask for 21 to know whether
+        // more exist without ever collecting the full hit set
         val dirs = args(1).split(",").toSeq
         val phrase = args.drop(2).mkString(" ")
-        val ids = Searcher.phraseSearch(spark, dirs, phrase)
+        val ids = Searcher.phraseSearch(spark, dirs, phrase, limit = 21)
         val secs = (System.nanoTime() - t0) / 1e9
-        println(s"phrase '$phrase': ${ids.size} docs " +
-          s"[${ids.take(20).mkString(", ")}${if (ids.size > 20) ", …" else ""}]")
+        val shown = ids.take(20)
+        println(s"phrase '$phrase': " +
+          s"${if (ids.size > 20) "20+" else shown.size.toString} docs " +
+          s"[${shown.mkString(", ")}${if (ids.size > 20) ", …" else ""}]")
         println(f"took $secs%.2fs total (incl. session)")
 
       case "queryset" =>

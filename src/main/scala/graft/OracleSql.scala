@@ -122,6 +122,26 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of [[graft.pipeline.Dedup.simhashPairs]]: candidates from
+    * equality on any of the 4 × 16-bit signature chunks, verified by
+    * exact XOR-popcount hamming (DuckDB: hex → UBIGINT cast +
+    * bit_count).
+    */
+  def simhashPairs(maxHamming: Int): String =
+    s"""WITH sig AS (SELECT * FROM ($simhash)),
+       |ch AS (SELECT doc_id, simhash, c, substr(simhash, 4*c + 1, 4) AS v
+       |  FROM sig, range(4) t(c)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ch a JOIN ch b ON a.c = b.c AND a.v = b.v
+       |    AND a.doc_id < b.doc_id),
+       |h AS (SELECT doc_a, doc_b,
+       |    bit_count(xor(('0x' || sa.simhash)::UBIGINT,
+       |                  ('0x' || sb.simhash)::UBIGINT)) AS hamm
+       |  FROM cand JOIN sig sa ON sa.doc_id = doc_a
+       |       JOIN sig sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, CAST(hamm AS BIGINT) AS hamm FROM h
+       |WHERE hamm <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
+
   /** Distinct word-3-gram shingles CTE (1-indexed lists in DuckDB). */
   val shinglesCte: String =
     s"""sh AS (

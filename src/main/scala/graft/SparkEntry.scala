@@ -263,6 +263,11 @@ object SparkEntry {
       Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text", 16, 4, 0.2)),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"), "doc_id", "text")),
+    "dedup_simhash_pairs" -> ((s, d) =>
+      // hamming-bucket consumer: 4×16-bit chunk equality join →
+      // exact XOR-popcount verify (≤ 3 bits), salted cells for hot
+      // chunk values
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")),
     // ---- similarity search -----------------------------------------
     "sim_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -295,6 +300,11 @@ object SparkEntry {
       // no corpus scan (ft_phrase above keeps the scan formulation as
       // the SQL-expressible cross-check)
       EntryIndex.phraseDf(s, d, "data join")),
+    "ft_phrase_page" -> ((s, d) =>
+      // paged engine phrase serve: bounded scatter-gather page (each
+      // partition tops offset+limit ids; driver merges partial tops),
+      // never the full hit set on the driver
+      EntryIndex.phrasePageDf(s, d, "data join", limit = 10, offset = 5)),
     "agg_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -470,6 +480,10 @@ object SparkEntry {
     "ft_phrase_engine" -> (s"SELECT doc_id FROM (SELECT doc_id, ' ' || " +
       s"array_to_string(${OracleSql.toksExpr}, ' ') || ' ' AS norm " +
       "FROM documents) WHERE norm LIKE '% data join %' ORDER BY doc_id"),
+    "ft_phrase_page" -> (s"SELECT doc_id FROM (SELECT doc_id, ' ' || " +
+      s"array_to_string(${OracleSql.toksExpr}, ' ') || ' ' AS norm " +
+      "FROM documents) WHERE norm LIKE '% data join %' ORDER BY doc_id " +
+      "LIMIT 10 OFFSET 5"),
     "agg_rollup" -> ("SELECT coalesce(l_returnflag,'ALL') AS rf, " +
       "coalesce(l_linestatus,'ALL') AS ls, count(*) AS n, " +
       "round(sum(l_quantity),2) AS sum_qty FROM lineitem " +
@@ -506,6 +520,7 @@ object SparkEntry {
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, session_id""".stripMargin),
     "dedup_simhash" -> OracleSql.simhash,
+    "dedup_simhash_pairs" -> OracleSql.simhashPairs(3),
     "mm_extract" -> data.ExtractFixtures.oracleSql,
     "mm_sniff" -> data.ExtractFixtures.sniffOracleSql,
     "sim_ivf_ann" -> OracleSql.ivfTopK(2L, 20, 16, 4),

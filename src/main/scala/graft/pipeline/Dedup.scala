@@ -224,6 +224,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SimHash near-dup PAIRS: the hamming-bucket consumer of
+    * [[simhash]]. The 64-bit signature splits into 4 chunks of 16
+    * bits; by pigeonhole, a pair within hamming distance ≤ 3 agrees
+    * exactly on at least one chunk, so candidates come from an
+    * equality join on (chunk index, chunk value) — never an all-pairs
+    * scan — and are then verified by exact XOR-popcount hamming.
+    * A hot chunk value (boilerplate-dominated docs) implies m²/2
+    * candidate pairs from one join key; pair generation therefore
+    * runs in the same salted triangular cells as [[minhashLsh]], so
+    * no single task owns a hot bucket's pair space.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, saltCells: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 chunks of 16 bits guarantee recall only for hamming <= 3, got $maxHamming")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = simhash(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = math.max(1, saltCells)
+    val cand = sig.as[(Long, String)].flatMap { case (id, h) =>
+      val g = IndexBuilder.saltOf(id, s)
+      (0 until 4).iterator.flatMap { c =>
+        val v = h.substring(4 * c, 4 * c + 4)
+        Iterator.range(g, s).map(t => ((c, v, g, t), id)) ++
+          Iterator.range(0, g).map(t => ((c, v, t, g), id))
+      }
+    }.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val (_, _, ci, cj) = key
+      val a = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.foreach { case (_, id) =>
+        if (IndexBuilder.saltOf(id, s) == ci) a += id else b += id
+      }
+      if (ci == cj)
+        for {
+          i <- a.indices.iterator; j <- Iterator.range(i + 1, a.length)
+        } yield
+          if (a(i) < a(j)) (a(i), a(j)) else (a(j), a(i))
+      else
+        for { x <- a.iterator; y <- b.iterator }
+          yield if (x < y) (x, y) else (y, x)
+    }.toDF("doc_a", "doc_b").distinct()
+    cand
+      .join(sig.toDF("doc_a", "ha"), "doc_a")
+      .join(sig.toDF("doc_b", "hb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+      .as[(Long, Long, String, String)]
+      .map { case (a, b, ha, hb) =>
+        (a, b, java.lang.Long.bitCount(
+          java.lang.Long.parseUnsignedLong(ha, 16) ^
+            java.lang.Long.parseUnsignedLong(hb, 16)).toLong)
+      }.toDF("doc_a", "doc_b", "hamm")
+      .filter(col("hamm") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact all-pairs embedding cosine ≥ threshold as a triangular
     * block join: ids hash into `numBlocks` groups; cell (i, j), i ≤ j,
     * receives blocks i and j and scores their cross pairs in one task

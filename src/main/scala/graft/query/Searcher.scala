@@ -428,21 +428,25 @@ object Searcher {
     spark.createDataset(merged)
   }
 
-  /** Engine-backed phrase search: posting-list AND-intersection plus
+  /** Engine-backed phrase matching: posting-list AND-intersection plus
     * token-position adjacency verify, served from the positional tier
-    * (an index built with `withPositions`). Returns ALL matching
-    * docIds. Matches the substring-over-normalized-tokens semantics
-    * (" w1 w2 ... " in the space-joined token stream) exactly —
-    * positions ARE token indices. At web scale this is the difference
-    * between a per-query full-corpus scan and touching only the
-    * phrase terms' posting blocks (same scatter pruning as search:
-    * bucket partition + termHash row groups + docId-range windows).
+    * (an index built with `withPositions`). Returns the matching
+    * docIds as a DISTRIBUTED dataset — callers that need the full hit
+    * set (exports, joins) consume it without the result ever touching
+    * the driver; interactive callers go through [[phraseSearch]],
+    * which pages with a bounded scatter-gather. Matches the
+    * substring-over-normalized-tokens semantics (" w1 w2 ... " in the
+    * space-joined token stream) exactly — positions ARE token
+    * indices. At web scale this is the difference between a per-query
+    * full-corpus scan and touching only the phrase terms' posting
+    * blocks (same scatter pruning as search: bucket partition +
+    * termHash row groups + docId-range windows).
     */
-  def phraseSearch(spark: SparkSession, indexDirs: Seq[String],
-                   phrase: String, numRanges: Int = 8): Seq[Long] = {
+  def phraseDocs(spark: SparkSession, indexDirs: Seq[String],
+                 phrase: String, numRanges: Int = 8): Dataset[Long] = {
     import spark.implicits._
     val slots = Tokenize.tokens(phrase).toSeq // order + duplicates kept
-    if (slots.isEmpty) return Seq.empty
+    if (slots.isEmpty) return spark.emptyDataset[Long]
     val distinctTerms = slots.distinct
     val statsList = indexDirs.map(d => IndexPaths.readStats(spark, d))
     val maxDoc = statsList.map(_.maxDocId).max + 1
@@ -465,7 +469,7 @@ object Searcher {
     }
     // every phrase term must exist in at least one generation
     if (distinctTerms.exists(t => metaPerIndex.forall(!_.contains(t))))
-      return Seq.empty
+      return spark.emptyDataset[Long]
     // re-crawl tombstones mask phrase results too — a replaced
     // version must never surface from ANY evaluator
     val phTombs: Set[Long] = indexDirs
@@ -525,7 +529,40 @@ object Searcher {
         Wand.phraseDocs(slotGroups).iterator
           .filterNot(bcPhTombs.value.contains)
       }
-    matched.collect().sorted.toSeq
+    matched
+  }
+
+  /** Paged phrase search: docIds ascending, rows [offset, offset+limit).
+    * Bounded end to end — each partition keeps only its (offset+limit)
+    * smallest docIds in a max-heap, the driver merges
+    * O(partitions × depth) candidates and slices the page. A stopword
+    * phrase matching 10⁹ docs costs the driver `depth` longs per
+    * partition, never the full hit set (round 2 collected ALL matches,
+    * the serve path's last unbounded driver collect).
+    */
+  def phraseSearch(spark: SparkSession, indexDirs: Seq[String],
+                   phrase: String, numRanges: Int = 8,
+                   limit: Int = 1000, offset: Int = 0): Seq[Long] = {
+    import spark.implicits._
+    if (limit <= 0) return Seq.empty
+    val off = math.max(0, offset)
+    val depth = math.min(Int.MaxValue.toLong, off.toLong + limit).toInt
+    val partTops = phraseDocs(spark, indexDirs, phrase, numRanges)
+      .mapPartitions { it =>
+        val pq = new java.util.PriorityQueue[java.lang.Long](
+          16, java.util.Comparator.reverseOrder[java.lang.Long]())
+        it.foreach { id =>
+          if (pq.size < depth) pq.add(id)
+          else if (id < pq.peek()) { pq.poll(); pq.add(id) }
+        }
+        val out = new Array[Long](pq.size)
+        var i = 0
+        while (!pq.isEmpty) { out(i) = pq.poll(); i += 1 }
+        out.iterator
+      }
+    // docIds are unique across partitions (each doc lives in exactly
+    // one docId-range group), so no distinct needed before the slice
+    partTops.collect().sorted.slice(off, off + limit).toSeq
   }
 
   /** Back-join urls for a (small) hit set — docs table is range-sorted

@@ -158,6 +158,20 @@ class IndexSearchSpec extends AnyFunSuite {
       if (!ph.contains("zzzznope"))
         assert(want.nonEmpty, s"test phrase '$ph' should occur somewhere")
     }
+    // bounded paging: pages slice the ascending full list exactly, and
+    // the distributed phraseDocs dataset equals the full list too
+    samplePhrases.filterNot(_.contains("zzzznope")).take(2).foreach { ph =>
+      val want = naive(ph)
+      val full = Searcher.phraseDocs(spark, Seq(dir), ph, numRanges = 5)
+        .collect().sorted.toSeq
+      assert(full == want, s"phraseDocs '$ph'")
+      val off = math.min(1, want.size - 1)
+      val page = Searcher.phraseSearch(spark, Seq(dir), ph, numRanges = 5,
+        limit = 2, offset = off)
+      assert(page == want.slice(off, off + 2), s"phrase page '$ph'")
+      assert(Searcher.phraseSearch(spark, Seq(dir), ph, numRanges = 5,
+        limit = 3, offset = want.size + 5).isEmpty)
+    }
   }
 
   test("offset pagination: page1 ++ page2 == top-20 with continuous ranks") {

@@ -54,6 +54,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(ham(h1, h2) < ham(h1, h3))
   }
 
+  test("simhash pairs == brute-force hamming filter; salt-invariant") {
+    import spark.implicits._
+    // near-dup clusters: shared long prefix with one-token edits, plus
+    // unrelated docs — guarantees some pairs with hamming <= 3 and
+    // some chunk-collision candidates that fail the verify
+    val base = (1 to 80).map(i => s"tok$i")
+    val docs = ((0 until 6).map { k =>
+      (k.toLong, base.updated(40, s"edit$k").mkString(" "))
+    } ++ (6 until 20).map { k =>
+      (k.toLong, (1 to 60).map(i => s"w${k}_$i").mkString(" "))
+    }).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = java.lang.Long.bitCount(
+      java.lang.Long.parseUnsignedLong(a, 16) ^
+        java.lang.Long.parseUnsignedLong(b, 16))
+    val chunkEq = (a: String, b: String) =>
+      (0 until 4).exists(c => a.substring(4 * c, 4 * c + 4) ==
+        b.substring(4 * c, 4 * c + 4))
+    val ids = sigs.keys.toSeq.sorted
+    val want = (for {
+      i <- ids; j <- ids if i < j
+      if chunkEq(sigs(i), sigs(j)) && ham(sigs(i), sigs(j)) <= 3
+    } yield (i, j, ham(sigs(i), sigs(j)).toLong)).sorted
+    assert(want.nonEmpty, "fixture must produce near-dup pairs")
+    for (cells <- Seq(1, 3)) {
+      val got = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, saltCells = cells).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"saltCells=$cells")
+    }
+  }
+
   test("cosine top-k matches naive double computation") {
     import spark.implicits._
     val vecs = (0 until 30).map { i =>
