@@ -149,13 +149,31 @@ object Compaction {
       val st = IndexPaths.readStats(spark, d)
       (st.minDocId, st.maxDocId)
     }
-    val carried = gens
-      .flatMap(d => Incremental.readTombstones(spark, d)).distinct
-      .filterNot(id =>
-        genRanges.exists { case (lo, hi) => id >= lo && id <= hi })
-    if (carried.nonEmpty)
-      carried.toDF("docId").write.mode(SaveMode.Overwrite)
-        .parquet(s"$outDir/tombstones")
+    // Unconditionally clear stale tombstone outputs first: recompacting
+    // into a reused outDir whose previous run carried tombstones would
+    // otherwise leave the old files masking live docIds.
+    IndexPaths.delete(spark, s"$outDir/tombstones")
+    IndexPaths.delete(spark, Tombstones.dirOf(outDir))
+    // Distributed carry (never a driver collect — a full re-crawl's
+    // tombstone set is O(corpus)): union the generations' tombstone
+    // parquets, drop ids the url dedup consumed (those inside the
+    // compacted generations' ranges), keep the rest.
+    val tombGens = gens.filter(d =>
+      IndexPaths.exists(spark, s"$d/tombstones"))
+    if (tombGens.nonEmpty) {
+      val inRange = genRanges.map { case (lo, hi) =>
+        $"docId" >= lo && $"docId" <= hi
+      }.reduce(_ || _)
+      tombGens.map(d => spark.read.parquet(s"$d/tombstones")
+          .select($"docId"))
+        .reduce(_ union _).distinct().filter(!inRange)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/tombstones")
+      if (spark.read.parquet(s"$outDir/tombstones").count() == 0L)
+        IndexPaths.delete(spark, s"$outDir/tombstones")
+      else
+        Tombstones.write(spark.read.parquet(s"$outDir/tombstones")
+          .select($"docId").as[Long], outDir)
+    }
     stats
   }
 }

@@ -35,12 +35,22 @@ import graft.data.PageRow
   */
 object Incremental {
 
-  /** Replaced docIds (tombstones) recorded beside a delta. */
+  /** Replaced docIds (tombstones) recorded beside a delta. Driver
+    * collect — callers must gate on [[tombstoneParquetCount]] /
+    * [[Tombstones.maskFor]] before collecting an unbounded set.
+    */
   def readTombstones(spark: SparkSession, indexDir: String): Seq[Long] =
     if (!IndexPaths.exists(spark, s"$indexDir/tombstones"))
       Seq.empty
     else spark.read.parquet(s"$indexDir/tombstones")
       .select(col("docId")).collect().map(_.getLong(0)).toSeq
+
+  /** Tombstone cardinality without collecting ids (parquet metadata
+    * count — no row scan).
+    */
+  def tombstoneParquetCount(spark: SparkSession, indexDir: String): Long =
+    if (!IndexPaths.exists(spark, s"$indexDir/tombstones")) 0L
+    else spark.read.parquet(s"$indexDir/tombstones").count()
 
   /** The base generation's ingestion watermark, persisted beside its
     * stats (written by [[buildDelta]] and [[watermarkOf]] callers).
@@ -151,16 +161,24 @@ object Incremental {
       lineage = s"delta-over(${baseDirs.mkString(",")})")
     if (allowRecrawl) {
       // tombstone the base versions of re-crawled urls: the delta's
-      // url set joins each base's docs meta (pruned to two columns)
+      // url set joins each base's docs meta (pruned to two columns).
+      // PLAIN shuffle join, no broadcast hint: a full re-crawl's url
+      // set is O(corpus) — forcing a broadcast here was the round-2
+      // OOM hazard; Spark/AQE still broadcasts small deltas on its own
       val deltaUrls = spark.read.parquet(s"$deltaDir/docs")
         .select(col("url"))
       baseDirs.map(d => spark.read.parquet(s"$d/docs")
           .select(col("docId"), col("url")))
         .reduce(_ unionByName _)
-        .join(org.apache.spark.sql.functions.broadcast(deltaUrls), "url")
+        .join(deltaUrls, "url")
         .select(col("docId"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$deltaDir/tombstones")
+      // strided sidecar: lets the serve path mask without ever
+      // collecting the set ([[Tombstones]] switches modes on count)
+      import spark.implicits._
+      Tombstones.write(spark.read.parquet(s"$deltaDir/tombstones")
+        .select(col("docId")).as[Long], deltaDir)
     }
     val maxTs = pages.agg(max(col("warc_ts"))).head().getTimestamp(0)
     if (maxTs != null) writeWatermark(spark, deltaDir, maxTs)

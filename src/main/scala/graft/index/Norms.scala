@@ -60,6 +60,20 @@ object Norms {
     private val cache =
       new java.util.HashMap[(Int, Long), Array[Byte]]()
 
+    // commit-marker check once per generation: a norms job that died
+    // mid-write leaves stride files but no marker; without this a
+    // half-written sidecar would serve dl=0 and silently inflate BM25
+    private val committedChecked = new Array[Boolean](gens.length)
+
+    private def ensureCommitted(g: Int, fs: org.apache.hadoop.fs.FileSystem): Unit =
+      if (!committedChecked(g)) {
+        val marker = new Path(s"${gens(g).dir}/norms/_complete")
+        require(fs.exists(marker),
+          s"norms sidecar for ${gens(g).dir} has no commit marker — " +
+            "partial write detected; rerun Norms.write")
+        committedChecked(g) = true
+      }
+
     private def load(g: Int, strideId: Long): Array[Byte] = {
       val key = (g, strideId)
       var buf = cache.get(key)
@@ -70,6 +84,7 @@ object Norms {
         if (cache.size >= maxCached) cache.clear()
         val p = new Path(filePath(gens(g).dir, strideId))
         val fs = p.getFileSystem(conf.value)
+        ensureCommitted(g, fs)
         val in = fs.open(p)
         try {
           buf = new Array[Byte]((Stride * 4).toInt)
@@ -104,7 +119,17 @@ object Norms {
     val conf = new SerConf(spark.sparkContext.hadoopConfiguration)
     val bc = spark.sparkContext.broadcast(conf)
     val target = dir
-    docDl.groupByKey(x => strideOf(x._1))
+    // Commit protocol: strides land under a tmp name and rename into
+    // place (a retried/speculative twin writes identical bytes — the
+    // stride's rows are deterministic — so losing the rename race is
+    // benign); the driver then writes the `_complete` marker that
+    // Reader requires before serving any lookup. A job that dies
+    // mid-write leaves no marker, so readers fail loudly instead of
+    // serving dl=0 from a partial sidecar.
+    val marker = new Path(s"$target/norms/_complete")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mfs.exists(marker)) mfs.delete(marker, false)
+    val nStrides = docDl.groupByKey(x => strideOf(x._1))
       .mapGroups { (sid: Long, it: Iterator[(Long, Int)]) =>
         val buf = new Array[Byte]((Stride * 4).toInt)
         it.foreach { case (docId, dl) =>
@@ -114,12 +139,22 @@ object Norms {
           buf(off + 2) = (dl >>> 8).toByte
           buf(off + 3) = dl.toByte
         }
-        val p = new Path(filePath(target, sid))
-        val fs = p.getFileSystem(bc.value.value)
-        val out = fs.create(p, true)
+        val tmp = new Path(filePath(target, sid) + ".tmp")
+        val fin = new Path(filePath(target, sid))
+        val fs = tmp.getFileSystem(bc.value.value)
+        val out = fs.create(tmp, true)
         try out.write(buf) finally out.close()
+        if (!fs.rename(tmp, fin)) {
+          // dest exists from a concurrent identical attempt, or the
+          // rename genuinely failed — require the committed file
+          if (!fs.exists(fin))
+            throw new java.io.IOException(s"norms stride commit failed: $fin")
+          fs.delete(tmp, false)
+        }
         sid
       }
       .count() // materialize the writes
+    val out = mfs.create(marker, true)
+    try out.write(nStrides.toString.getBytes("UTF-8")) finally out.close()
   }
 }

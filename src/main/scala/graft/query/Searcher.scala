@@ -107,10 +107,11 @@ object Searcher {
     // compaction, global stats still count the dead docs, so the free
     // θ₀ / probe floors (whose safety proof counts df docs) are
     // disabled — correctness over speed in the transient window.
-    val tombstones: Set[Long] = indexDirs
-      .flatMap(d => graft.index.Incremental.readTombstones(spark, d)).toSet
-    val bcTomb = spark.sparkContext.broadcast(tombstones)
-    val noTomb = tombstones.isEmpty
+    // Small sets broadcast; above the threshold the mask reads the
+    // strided sidecar per docId window (never an O(corpus) driver Set).
+    val tombMask = graft.index.Tombstones.maskFor(spark, indexDirs)
+    val bcTomb = spark.sparkContext.broadcast(tombMask)
+    val noTomb = tombMask.isEmpty
     // norms-sidecar routing: generation dirs + docId ranges + the
     // Hadoop conf (tasks open stride files lazily, 4 MB each)
     val bcGens = spark.sparkContext.broadcast(
@@ -392,8 +393,7 @@ object Searcher {
           new Cursor(tIdx, idf, bs, avgdl, lo, hi, norms.dl)
         }.toArray
         val floor = bcTheta0.value.getOrElse(qid, Double.NegativeInfinity)
-        val mask: Long => Boolean =
-          if (bcTomb.value.isEmpty) null else bcTomb.value.contains _
+        val mask: Long => Boolean = bcTomb.value.fn
         val top =
           if (isAnd) {
             val order = bcDfOrder.value(qid)
@@ -472,9 +472,8 @@ object Searcher {
       return spark.emptyDataset[Long]
     // re-crawl tombstones mask phrase results too — a replaced
     // version must never surface from ANY evaluator
-    val phTombs: Set[Long] = indexDirs
-      .flatMap(d => graft.index.Incremental.readTombstones(spark, d)).toSet
-    val bcPhTombs = spark.sparkContext.broadcast(phTombs)
+    val phMask = graft.index.Tombstones.maskFor(spark, indexDirs)
+    val bcPhTombs = spark.sparkContext.broadcast(phMask)
     val tIdx: Map[String, Int] = distinctTerms.zipWithIndex.toMap
     // storage keys → distinct-term index (merged across generations)
     val keyUses: Map[String, Int] = metaPerIndex.flatMap { metas =>
@@ -526,8 +525,9 @@ object Searcher {
           byTerm(ti) += new Cursor(ti, 0.0, bs, 1.0, lo, hi, _ => 1L)
         }
         val slotGroups = slotIdxs.map(ti => byTerm(ti).toArray)
-        Wand.phraseDocs(slotGroups).iterator
-          .filterNot(bcPhTombs.value.contains)
+        val m = bcPhTombs.value.fn
+        val hits = Wand.phraseDocs(slotGroups).iterator
+        if (m == null) hits else hits.filterNot(m(_))
       }
     matched
   }

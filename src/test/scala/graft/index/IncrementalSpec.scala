@@ -171,6 +171,68 @@ class IncrementalSpec extends AnyFunSuite {
       "tombstoned doc resurrected after subset compaction")
   }
 
+  test("strided tombstone mask: multi-stride membership + rank identity") {
+    import spark.implicits._
+    // 1. membership mechanics across stride boundaries: ids straddle
+    // several 2^20-wide strides, including exact boundary ids
+    val sDir = SparkTestSession.tmpDir("graft_tomb_strided")
+    val stride = Norms.Stride
+    val ids = Seq(0L, 1L, stride - 1, stride, stride + 7,
+      3 * stride, 3 * stride + 123456, 7 * stride - 1)
+    Tombstones.write(ids.toDS(), sDir)
+    val Some((cnt, strides)) = Tombstones.readManifest(spark, sDir)
+    assert(cnt == ids.size)
+    assert(strides.toSet == ids.map(Norms.strideOf).toSet)
+    val mask = Tombstones.StridedMask(
+      Array((sDir, strides)),
+      new Norms.SerConf(spark.sparkContext.hadoopConfiguration))
+    val f = mask.fn
+    ids.foreach(id => assert(f(id), s"id $id not masked"))
+    Seq(2L, stride + 1, 2 * stride, 3 * stride + 1, 100 * stride)
+      .foreach(id => assert(!f(id), s"id $id wrongly masked"))
+
+    // 2. serve path: strided mask (threshold forced to 0) is
+    // rank-identical to the broadcast-Set mask on a real index with a
+    // large synthetic tombstone set
+    val pages = PagesGen.pages(spark, 400L)
+    val dir = SparkTestSession.tmpDir("graft_tomb_idx")
+    IndexBuilder.build(DocIds.fromPages(pages, 4),
+      dir, cfg.copy(withPositions = true), "tomb")
+    val tombIds = (0L until 400L).filter(_ % 3 == 0)
+    tombIds.toDF("docId").write.mode("overwrite")
+      .parquet(s"$dir/tombstones")
+    Tombstones.write(tombIds.toDS(), dir)
+    val qs = QuerySet.queries().take(12)
+    def run(): Seq[(Long, Int, Long, Double)] =
+      Searcher.searchMulti(spark, Seq(dir), qs, 10, Searcher.Or,
+        numRanges = 4).collect()
+        .map(h => (h.queryId, h.rank, h.docId, h.score))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val viaSet = run()
+    assert(Tombstones.maskFor(spark, Seq(dir))
+      .isInstanceOf[Tombstones.SetMask])
+    spark.conf.set("graft.tombstones.broadcastThreshold", "0")
+    try {
+      assert(Tombstones.maskFor(spark, Seq(dir))
+        .isInstanceOf[Tombstones.StridedMask])
+      val viaStride = run()
+      assert(viaStride == viaSet, "strided mask diverged from Set mask")
+      assert(viaStride.nonEmpty)
+      assert(viaStride.forall(h => h._3 % 3 != 0), "masked doc surfaced")
+      // phrase path through the strided mask too
+      val sample = (0L until 400L).map(i => PagesGen.row(42L, i))
+        .collectFirst {
+          case p if graft.functions.Tokenize.tokens(p.text).length >= 5 =>
+            graft.functions.Tokenize.tokens(p.text).slice(1, 4)
+              .mkString(" ")
+        }.get
+      val ph = Searcher.phraseSearch(spark, Seq(dir), sample,
+        numRanges = 3)
+      assert(ph.forall(_ % 3 != 0), "phrase surfaced a masked doc")
+    } finally
+      spark.conf.unset("graft.tombstones.broadcastThreshold")
+  }
+
   test("compaction merges positional and positions-less generations") {
     import spark.implicits._
     // base WITH positions, delta WITHOUT — merged blocks mix postings
