@@ -137,7 +137,14 @@ object Main {
           val wm = baseDirs.flatMap(d =>
             graft.index.Incremental.readWatermark(spark, d))
             .sortBy(_.getTime).lastOption
-          val fresh = graft.index.Incremental.newPages(pages, wm)
+          // selective re-ingest: per-url content-hash diff when the
+          // probe generation has the sidecar — catches same-timestamp
+          // content edits the watermark filter is blind to (and skips
+          // re-crawls whose content didn't change); watermark filter
+          // only as the legacy fallback
+          val fresh = graft.index.Incremental
+            .changedPages(pages, probeDir)
+            .getOrElse(graft.index.Incremental.newPages(pages, wm))
           val nFresh = fresh.count()
           val stats = graft.index.Incremental.buildDelta(fresh, baseDirs,
             deltaDir, IndexBuilder.Config(withPositions = true),

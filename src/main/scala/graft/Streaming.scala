@@ -60,61 +60,116 @@ object Streaming {
   case class SessionState(lastTsMs: Long, sessionId: Long, nEvents: Long)
 
   /** Per-user sessionization with a gap timeout, via
-    * `flatMapGroupsWithState` — the KeyValueGroupedDataset
-    * custom-state operator. Sessions close when the gap between
-    * consecutive events (event-time order, event_id tie-break)
-    * exceeds `gapMinutes`; output is one row per session
-    * (user_id, session_id, n_events). State carries the open session
-    * across micro-batches; the bounded AvailableNow drain ends the
-    * stream, so the trailing open session is final by construction
-    * and is emitted in the same invocation (a continuous deployment
-    * would hold it in state and emit on an event-time timeout).
-    * Batch-identical to the lag-plus-cumulative-breaks SQL oracle.
+    * `flatMapGroupsWithState` + `EventTimeTimeout` — deployable
+    * continuously, correct across micro-batches. Sessions close when
+    * the gap between consecutive events (event-time order, event_id
+    * tie-break) exceeds `gapMinutes`; output is one row per session
+    * (user_id, session_id, n_events).
+    *
+    * Multi-batch correctness (the round-2 version emitted the open
+    * session EVERY batch while also keeping it in state — duplicate
+    * rows as soon as the source split into several micro-batches):
+    *  - a batch emits only sessions CLOSED by a later event inside it;
+    *  - an open session stays solely in state, with an event-time
+    *    timeout at lastTs + gap: when the watermark passes that point
+    *    no future event can extend the session (anything older is
+    *    dropped as late), so the timeout callback emits it exactly
+    *    once and zeroes the open state — the per-user session counter
+    *    is retained so later sessions keep monotone ids;
+    *  - sessions still open when the bounded drain ends (their
+    *    timeout is beyond the final watermark by construction) are
+    *    recovered by reading the state store after termination — the
+    *    "final flush" — so the result is batch-identical to the SQL
+    *    lag-plus-cumulative-breaks oracle.
+    *
+    * `maxFilesPerTrigger` > 0 forces multi-batch processing (the spec
+    * uses it to prove the no-duplicate invariant); 0 = drain freely.
     */
   def sessionize(spark: SparkSession, dir: String,
-                 gapMinutes: Int = 30): DataFrame = {
+                 gapMinutes: Int = 30,
+                 maxFilesPerTrigger: Int = 0,
+                 srcOverride: Option[String] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val srcDir = srcOverride.getOrElse(stageDir(spark, dir))
+    val schema = spark.read.parquet(srcDir).schema
     val name = s"graft_stream_sess_${counter.incrementAndGet()}"
+    // per-run checkpoint (memory sink cannot recover from a previous
+    // JVM's checkpoint); nanoTime disambiguates across processes
+    val ckpt = s"/tmp/graft_stream_ckpt/${name}_${System.nanoTime()}"
     val gapMs = gapMinutes.toLong * 60000L
-    val q = spark.readStream.schema(schema)
-      .parquet(stageDir(spark, dir))
+    val reader0 = spark.readStream.schema(schema)
+    val reader =
+      if (maxFilesPerTrigger > 0)
+        reader0.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader0
+    val q = reader
+      .parquet(srcDir)
       .select(col("user_id").cast("long"),
-        col("ts").cast("timestamp"), col("event_id").cast("long"))
+        col("ts").cast("timestamp").as("ts"), col("event_id").cast("long"))
+      .withWatermark("ts", "0 seconds")
       .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
+        GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
          state: GroupState[SessionState]) =>
-          val evs = it.toArray.sortBy(e => (e._2.getTime, e._3))
-          var st = state.getOption.getOrElse(
-            SessionState(Long.MinValue, 0L, 0L))
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Long)]
-          evs.foreach { e =>
-            val t = e._2.getTime
-            if (st.lastTsMs == Long.MinValue || t - st.lastTsMs > gapMs) {
-              if (st.nEvents > 0) { // close the previous session
-                out += ((uid, st.sessionId, st.nEvents))
-              }
-              st = SessionState(t, st.sessionId + 1, 1L)
-            } else st = st.copy(lastTsMs = t, nEvents = st.nEvents + 1)
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap: the open session is final.
+            // Keep the id counter in state (zeroed session) so later
+            // sessions of this user continue monotone numbering.
+            val st = state.get
+            state.update(SessionState(Long.MinValue, st.sessionId, 0L))
+            if (st.nEvents > 0) Iterator.single((uid, st.sessionId, st.nEvents))
+            else Iterator.empty
+          } else {
+            val evs = it.toArray.sortBy(e => (e._2.getTime, e._3))
+            var st = state.getOption.getOrElse(
+              SessionState(Long.MinValue, 0L, 0L))
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long)]
+            evs.foreach { e =>
+              val t = e._2.getTime
+              if (st.lastTsMs == Long.MinValue || t - st.lastTsMs > gapMs) {
+                if (st.nEvents > 0) { // close the previous session
+                  out += ((uid, st.sessionId, st.nEvents))
+                }
+                st = SessionState(t, st.sessionId + 1, 1L)
+              } else st = st.copy(lastTsMs = math.max(st.lastTsMs, t),
+                nEvents = st.nEvents + 1)
+            }
+            state.update(st)
+            if (st.nEvents > 0)
+              // must be strictly beyond the current watermark; an old
+              // straggler session whose natural timeout already passed
+              // fires on the next batch boundary
+              state.setTimeoutTimestamp(math.max(st.lastTsMs + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
-          state.update(st)
-          // bounded drain: the stream ends after this batch, so the
-          // open session is final — emit it too
-          if (st.nEvents > 0) out += ((uid, st.sessionId, st.nEvents))
-          out.iterator
       }
       .toDF("user_id", "session_id", "n_events")
       .writeStream.outputMode("append")
       .format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000L)
-    spark.table(name).orderBy("user_id", "session_id")
+    // final flush: sessions still open at end-of-stream live only in
+    // the state store (their event-time timeout never fired — the
+    // final watermark is max event time, which is < lastTs + gap).
+    // The state source reads them without a custom side channel.
+    val open = spark.read.format("statestore").load(ckpt)
+      // state source schema: key = struct(grouping key), value =
+      // struct(groupState: SessionState, timeoutTimestamp)
+      .select(col("key").getField("value").cast("long").as("user_id"),
+        col("value").getField("groupState").getField("sessionId")
+          .cast("long").as("session_id"),
+        col("value").getField("groupState").getField("nEvents")
+          .cast("long").as("n_events"))
+      .filter(col("n_events") > 0)
+    spark.table(name).unionByName(open)
+      .orderBy("user_id", "session_id")
   }
 
   /** Tumbling event-time window aggregation with a watermark — the

@@ -95,6 +95,40 @@ object Incremental {
     val sum0 = if (r.isNullAt(1)) BigDecimal(0) else r.getDecimal(1)
     IndexPaths.writeString(spark, s"$indexDir/fingerprint.json",
       s"""{"count":$n,"checksum":"$sum0"}""")
+    // per-url content hashes: the SELECTIVE re-ingest sidecar. The
+    // aggregate checksum above can say "changed" without saying WHICH
+    // rows — a same-timestamp content edit is invisible to the
+    // watermark filter, so [[changedPages]] diffs against these hashes
+    // instead (without them, the round-2 delta path dropped such edits
+    // forever: the edit slipped the watermark filter, then the fresh
+    // fingerprint stamp made every later probe report Unchanged).
+    pages.select(col("url"),
+        xxhash64(col("url"), col("text")).as("h"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/urlhashes")
+  }
+
+  /** Rows that are NEW OR EDITED relative to the per-url hash sidecar
+    * of `probeDir` (anti-join on (url, hash)): a new url has no match,
+    * an edited text hashes differently, an unchanged row drops out —
+    * including re-crawls that bumped warc_ts without changing content,
+    * which the watermark filter would wastefully re-ingest. None when
+    * the sidecar doesn't exist (legacy index — watermark filter is the
+    * only selector available).
+    */
+  def changedPages(pages: Dataset[PageRow],
+                   probeDir: String): Option[Dataset[PageRow]] = {
+    val spark = pages.sparkSession
+    if (!IndexPaths.exists(spark, s"$probeDir/urlhashes")) None
+    else {
+      val old = spark.read.parquet(s"$probeDir/urlhashes")
+      implicit val enc = pages.encoder
+      Some(pages
+        .withColumn("h", xxhash64(col("url"), col("text")))
+        .join(old, Seq("url", "h"), "left_anti")
+        .drop("h")
+        .as[PageRow])
+    }
   }
 
   /** Run the probe ladder, cheapest first, stopping at the first

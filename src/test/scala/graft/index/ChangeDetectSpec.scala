@@ -56,6 +56,34 @@ class ChangeDetectSpec extends AnyFunSuite {
     assert(trail == Seq(("watermark", Unknown), ("count", Changed)))
   }
 
+  test("changedPages selects exactly the edited/new rows (same-ts edits)") {
+    import spark.implicits._
+    // edited row keeps its warc_ts — the watermark filter would select
+    // NOTHING (the round-2 silent-loss bug); the hash diff must select
+    // exactly the edit plus genuinely new urls, and skip a re-crawl
+    // whose content is unchanged
+    val edited = PagesGen.pages(spark, 200L)
+      .map { p =>
+        if (p.url.endsWith("/7")) p.copy(text = p.text + " edited")
+        else if (p.url.endsWith("/9"))
+          p.copy(warc_ts = new java.sql.Timestamp(
+            p.warc_ts.getTime + 86400000L)) // newer ts, SAME content
+        else p
+      }
+    val plusNew = edited.union(spark.createDataset(
+      Seq(PagesGen.row(5L, 90000L))))
+    val got = changedPages(plusNew, dir).get.collect().map(_.url).toSet
+    val wantEdited = PagesGen.pages(spark, 200L).collect()
+      .filter(_.url.endsWith("/7")).map(_.url).toSet
+    assert(got == wantEdited + PagesGen.row(5L, 90000L).url,
+      s"selected $got")
+    // watermark filter alone would have missed the edit entirely
+    val viaWm = newPages(plusNew,
+      readWatermark(spark, dir)).collect().map(_.url).toSet
+    assert(!viaWm.exists(wantEdited.contains),
+      "precondition: the edit is invisible to the watermark rung")
+  }
+
   test("no sidecars → Unknown with a full Unknown trail") {
     val empty = SparkTestSession.tmpDir("graft_cd_empty")
     val (v, trail) = detectChange(PagesGen.pages(spark, 10L), empty)
