@@ -79,6 +79,25 @@ object EntryIndex {
       .toDF("doc_id").orderBy("doc_id")
   }
 
+  /** Engine-served bulk export: every doc matching ALL query terms,
+    * dumped with url+text via [[Export.dumpQuery]] (chunked, resumable
+    * writes), read back as (doc_id, url, fp) — fp = md5(text) keeps
+    * the oracle row narrow while still checking CONTENT, not just
+    * membership.
+    */
+  def exportDf(spark: SparkSession, dir: String, query: String): DataFrame = {
+    val idx = ensure(spark, dir)
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select(concat(lit("doc://"), col("doc_id")).as("url"), col("text"))
+    val out = s"/tmp/graft_export/${System.nanoTime()}"
+    val chunks = 4
+    Export.dumpQuery(spark, Seq(idx), query, src, out,
+      chunks = chunks, resume = false)
+    spark.read.parquet((0 until chunks).map(c => s"$out/chunk=$c"): _*)
+      .select(col("doc_id"), col("url"), md5(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
   /** Engine-paged phrase serve: rows [offset, offset+limit) of the
     * ascending-docId hit list via the bounded scatter-gather page
     * (driver holds O(partitions × depth) ids, never the full set).

@@ -277,7 +277,7 @@ object SparkEntry {
         10, 3)),
     "sim_lsh_ann" -> ((s, d) =>
       Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        1L, 20, numPlanes = 6)),
+        1L, 20, numPlanes = 6, numTables = 4)),
     "sim_ivf_ann" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         2L, 20, numCentroids = 16, probes = 4)),
@@ -300,6 +300,11 @@ object SparkEntry {
       // no corpus scan (ft_phrase above keeps the scan formulation as
       // the SQL-expressible cross-check)
       EntryIndex.phraseDf(s, d, "data join")),
+    "ex_dump" -> ((s, d) =>
+      // bulk retrieval: the FULL hit set of an AND query exported with
+      // url + content (reference ExportJob), chunk-committed, then
+      // read back — count and md5(text) both oracle-checked
+      EntryIndex.exportDf(s, d, "data join")),
     "ft_phrase_page" -> ((s, d) =>
       // paged engine phrase serve: bounded scatter-gather page (each
       // partition tops offset+limit ids; driver merges partial tops),
@@ -484,6 +489,11 @@ object SparkEntry {
       s"array_to_string(${OracleSql.toksExpr}, ' ') || ' ' AS norm " +
       "FROM documents) WHERE norm LIKE '% data join %' ORDER BY doc_id " +
       "LIMIT 10 OFFSET 5"),
+    "ex_dump" -> (s"SELECT doc_id, 'doc://' || doc_id AS url, " +
+      "md5(text) AS fp FROM (SELECT doc_id, text, " +
+      s"${OracleSql.toksExpr} AS t FROM documents) " +
+      "WHERE list_contains(t, 'data') AND list_contains(t, 'join') " +
+      "ORDER BY doc_id"),
     "agg_rollup" -> ("SELECT coalesce(l_returnflag,'ALL') AS rf, " +
       "coalesce(l_linestatus,'ALL') AS ls, count(*) AS n, " +
       "round(sum(l_quantity),2) AS sum_qty FROM lineitem " +

@@ -169,43 +169,73 @@ object Similarity {
       .limit(k)
   }
 
-  /** LSH-bucketed approximate NN with multiprobe: sign-bucket every
-    * vector by `numPlanes` hyperplanes, probe the query's bucket PLUS
-    * the buckets reached by flipping the 1-2 planes with the smallest
-    * |dot| margin (the classic multiprobe recall recovery — a near
-    * neighbor lost to one knife-edge plane is found in the flipped
-    * bucket), then exact-rerank only within the probed buckets.
+  /** LSH-bucketed approximate NN: multiprobe + multiple tables.
+    * Sign-bucket every vector by `numPlanes` hyperplanes per table
+    * (tables are seed-mixed, so their plane sets are independent);
+    * per table the query probes its own bucket PLUS the buckets
+    * reached by flipping the 1-2 planes with the smallest |dot| margin
+    * (the classic multiprobe recall recovery — a near neighbor lost to
+    * one knife-edge plane is found in the flipped bucket). A vector is
+    * a candidate if ANY table places it in a probed bucket — the
+    * standard OR-of-tables union that drives recall toward 1 at linear
+    * cost in tables — and candidates are exact-reranked. The bucketing
+    * pass computes all tables' buckets in one scan (no per-table job,
+    * no union/dedup shuffle: the membership test IS the dedup).
     * Approximate by construction (recall < 1) — validated by recall
     * tests, not an equality oracle.
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, numPlanes: Int = 8,
-              seed: Long = 42L, multiprobe: Int = 2): DataFrame = {
+              seed: Long = 42L, multiprobe: Int = 2,
+              numTables: Int = 1): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val dims = emb.select(size(col(vecCol))).head().getInt(0)
-    val b = bucketed(emb, idCol, vecCol, numPlanes, seed)
-      .toDF(idCol, vecCol, "bucket")
     val qVec = emb.filter(col(idCol) === queryId)
       .select(col(vecCol)).head().getSeq[Float](0).toArray
-    val ps = planeMatrix(seed, 0, numPlanes, dims)
-    val dots = planeDots(qVec, ps)
-    val qBucket = {
-      var x = 0L; var j = 0
-      while (j < dots.length) { if (dots(j) >= 0) x |= (1L << j); j += 1 }
-      x
+    val nT = math.max(1, numTables)
+    // per-table probe sets (driver: numTables × numPlanes dots)
+    val probeSets: Array[Set[Long]] = Array.tabulate(nT) { t =>
+      val ps = planeMatrix(seed, t, numPlanes, dims)
+      val dots = planeDots(qVec, ps)
+      var qBucket = 0L
+      var j = 0
+      while (j < dots.length) {
+        if (dots(j) >= 0) qBucket |= (1L << j); j += 1
+      }
+      val nearest = dots.zipWithIndex.sortBy(x => math.abs(x._1))
+        .take(math.max(0, multiprobe)).map(_._2)
+      (Seq(qBucket) ++
+        nearest.map(j => qBucket ^ (1L << j)) ++
+        (if (nearest.length >= 2)
+           Seq(qBucket ^ (1L << nearest(0)) ^ (1L << nearest(1)))
+         else Seq.empty)).toSet
     }
-    // probe set: primary ∪ single flips of the `multiprobe` nearest
-    // planes ∪ the double flip of the two nearest
-    val nearest = dots.zipWithIndex.sortBy(x => math.abs(x._1))
-      .take(math.max(0, multiprobe)).map(_._2)
-    val probes = (Seq(qBucket) ++
-      nearest.map(j => qBucket ^ (1L << j)) ++
-      (if (nearest.length >= 2)
-         Seq(qBucket ^ (1L << nearest(0)) ^ (1L << nearest(1)))
-       else Seq.empty)).distinct
+    val np = numPlanes
+    val sd = seed
+    val qid = queryId
+    val cands = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        // plane matrices derived deterministically per task
+        val mats = Array.tabulate(nT)(t => planeMatrix(sd, t, np, dims))
+        it.filter { case (id, v) =>
+          id != qid && {
+            val arr = v.toArray
+            var t = 0
+            var hit = false
+            while (!hit && t < nT) {
+              if (probeSets(t).contains(signBucket(arr, mats(t))))
+                hit = true
+              t += 1
+            }
+            hit
+          }
+        }
+      }
+      .toDF(idCol, vecCol)
     val qArr = array(qVec.map(v => lit(v)).toSeq: _*)
-    b.filter(col("bucket").isin(probes: _*) && col(idCol) =!= queryId)
+    cands
       .select(col(idCol),
         round(cosine(col(vecCol), qArr), 4).as("cos_r"))
       .orderBy(desc("cos_r"), col(idCol))

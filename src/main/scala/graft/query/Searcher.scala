@@ -443,9 +443,26 @@ object Searcher {
     * termHash row groups + docId-range windows).
     */
   def phraseDocs(spark: SparkSession, indexDirs: Seq[String],
-                 phrase: String, numRanges: Int = 8): Dataset[Long] = {
+                 phrase: String, numRanges: Int = 8): Dataset[Long] =
+    matchDocs(spark, indexDirs,
+      Tokenize.tokens(phrase).toSeq, // order + duplicates kept
+      verifyPositions = true, numRanges)
+
+  /** Full matching docId set of a conjunctive (AND) term query — the
+    * bulk-retrieval/export primitive: every doc containing ALL query
+    * terms, as a distributed dataset, no scoring, no top-k cut. Works
+    * on BM25-only indexes (no positional tier needed).
+    */
+  def conjunctiveDocs(spark: SparkSession, indexDirs: Seq[String],
+                      query: String, numRanges: Int = 8): Dataset[Long] =
+    matchDocs(spark, indexDirs,
+      Tokenize.tokens(query).distinct.toSeq,
+      verifyPositions = false, numRanges)
+
+  private def matchDocs(spark: SparkSession, indexDirs: Seq[String],
+                        slots: Seq[String], verifyPositions: Boolean,
+                        numRanges: Int): Dataset[Long] = {
     import spark.implicits._
-    val slots = Tokenize.tokens(phrase).toSeq // order + duplicates kept
     if (slots.isEmpty) return spark.emptyDataset[Long]
     val distinctTerms = slots.distinct
     val statsList = indexDirs.map(d => IndexPaths.readStats(spark, d))
@@ -505,7 +522,13 @@ object Searcher {
     }.reduce(_ union _)
     val slotIdxs = slots.map(tIdx).toArray
     val nDistinct = distinctTerms.size
-    val matched = blocks.flatMap { b =>
+    val matched = blocks
+      // the AND-only path never reads positions — blank posEnc before
+      // the scatter shuffle (same reasoning as the BM25 path)
+      .map(b => if (verifyPositions || b.posEnc == null ||
+                    b.posEnc.isEmpty) b
+                else b.copy(posEnc = Array.emptyByteArray))
+      .flatMap { b =>
       bcUses.value.get(b.skey).iterator.flatMap { ti =>
         (rangeOf(b.firstDocId) to rangeOf(b.lastDocId)).iterator
           .map(r => (r, ti, b))
@@ -526,7 +549,9 @@ object Searcher {
         }
         val slotGroups = slotIdxs.map(ti => byTerm(ti).toArray)
         val m = bcPhTombs.value.fn
-        val hits = Wand.phraseDocs(slotGroups).iterator
+        val hits =
+          (if (verifyPositions) Wand.phraseDocs(slotGroups)
+           else Wand.andDocs(slotGroups)).iterator
         if (m == null) hits else hits.filterNot(m(_))
       }
     matched

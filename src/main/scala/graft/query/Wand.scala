@@ -331,7 +331,18 @@ object Wand {
     * only for docs that already matched every slot (AND first, verify
     * second — the candidate set a full scan would never shrink).
     */
-  def phraseDocs(slotGroups: Array[Array[Cursor]]): Array[Long] = {
+  /** AND-intersection without position verify: the full matching
+    * docId set of a conjunctive term query (export / bulk retrieval
+    * path — no scoring, no top-k heap, emits every match).
+    */
+  def andDocs(slotGroups: Array[Array[Cursor]]): Array[Long] =
+    matchDocs(slotGroups, verifyPositions = false)
+
+  def phraseDocs(slotGroups: Array[Array[Cursor]]): Array[Long] =
+    matchDocs(slotGroups, verifyPositions = true)
+
+  private def matchDocs(slotGroups: Array[Array[Cursor]],
+                        verifyPositions: Boolean): Array[Long] = {
     if (slotGroups.isEmpty ||
         slotGroups.exists(g => g.isEmpty || g.forall(_.exhausted)))
       return Array.empty
@@ -363,14 +374,17 @@ object Wand {
         k += 1
       }
       if (ok) {
-        // position verify
-        var p = hits(0).positions
-        var k2 = 1
-        while (p.nonEmpty && k2 < slotGroups.length) {
-          p = intersectShift(p, hits(k2).positions, k2)
-          k2 += 1
+        if (!verifyPositions) out += cand
+        else {
+          // position verify
+          var p = hits(0).positions
+          var k2 = 1
+          while (p.nonEmpty && k2 < slotGroups.length) {
+            p = intersectShift(p, hits(k2).positions, k2)
+            k2 += 1
+          }
+          if (p.nonEmpty) out += cand
         }
-        if (p.nonEmpty) out += cand
       }
       drv.foreach(c =>
         if (!c.exhausted && c.curDoc <= cand) c.advanceTo(cand + 1))

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.data.PagesGen
+import graft.index.{DocIds, IndexBuilder, IndexPaths}
+import graft.query.Searcher
+
+/** Bulk export (reference ExportJob analog): full AND hit set with
+  * text, chunk-committed, resumable.
+  */
+class ExportSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  val cfg = IndexBuilder.Config(numBuckets = 8, blockSize = 32,
+    numGroups = 2, saltTarget = 400L, shufflePartitions = 6)
+
+  lazy val fixture: (String, org.apache.spark.sql.DataFrame) = {
+    val pages = PagesGen.pages(spark, 500L).cache()
+    val dir = SparkTestSession.tmpDir("graft_export_idx")
+    IndexBuilder.build(DocIds.fromPages(pages, 4), dir, cfg, "exp")
+    (dir, pages.toDF())
+  }
+
+  private def naiveAnd(src: org.apache.spark.sql.DataFrame,
+                       terms: Seq[String]): Set[String] =
+    src.collect().map(r => (r.getAs[String]("url"),
+        graft.functions.Tokenize.tokens(r.getAs[String]("text")).toSet))
+      .filter { case (_, toks) => terms.forall(toks.contains) }
+      .map(_._1).toSet
+
+  test("conjunctiveDocs == scan-based AND on every sampled query") {
+    import spark.implicits._
+    val (dir, src) = fixture
+    val meta = spark.read.parquet(s"$dir/docs")
+      .select($"docId", $"url").as[(Long, String)].collect().toMap
+    // sample term pairs from real docs so matches exist
+    val qs = src.select($"text").as[String].take(5).flatMap { t =>
+      val ts = graft.functions.Tokenize.tokens(t).distinct
+      if (ts.length >= 4) Some(s"${ts(0)} ${ts(3)}") else None
+    }.distinct
+    assert(qs.nonEmpty)
+    qs.foreach { q =>
+      val got = Searcher.conjunctiveDocs(spark, Seq(dir), q)
+        .collect().map(meta).toSet
+      val want = naiveAnd(src,
+        graft.functions.Tokenize.tokens(q).distinct.toSeq)
+      assert(got == want, s"query '$q'")
+      assert(want.nonEmpty, s"sampled query '$q' should match")
+    }
+  }
+
+  test("dumpQuery writes the full hit set; crash-resume completes it") {
+    import spark.implicits._
+    val (dir, src) = fixture
+    val q = {
+      val t = src.select($"text").as[String].head()
+      val ts = graft.functions.Tokenize.tokens(t).distinct
+      s"${ts(0)} ${ts(1)}"
+    }
+    val outA = SparkTestSession.tmpDir("graft_export_a")
+    val resA = Export.dumpQuery(spark, Seq(dir), q, src, outA, chunks = 4)
+    val readA = spark.read
+      .parquet((0 until 4).map(c => s"$outA/chunk=$c"): _*)
+      .select($"url", $"text").as[(String, String)].collect().sorted.toSeq
+    val want = naiveAnd(src, graft.functions.Tokenize.tokens(q).distinct.toSeq)
+    assert(resA.rows == want.size && resA.skipped == 0)
+    assert(readA.map(_._1).toSet == want)
+    // content rides along, not just membership
+    val srcText = src.select($"url", $"text").as[(String, String)]
+      .collect().toMap
+    readA.foreach { case (u, t) => assert(srcText(u) == t) }
+
+    // crash simulation: drop the last two chunks AND their checkpoint
+    // commits, then resume — completed chunks skip, output identical
+    (2 until 4).foreach { c =>
+      IndexPaths.delete(spark, s"$outA/chunk=$c")
+      IndexPaths.delete(spark, s"$outA/_checkpoints/export_$c.json")
+    }
+    val resB = Export.dumpQuery(spark, Seq(dir), q, src, outA, chunks = 4)
+    assert(resB.skipped == 2 && resB.rows == resA.rows)
+    val readB = spark.read
+      .parquet((0 until 4).map(c => s"$outA/chunk=$c"): _*)
+      .select($"url", $"text").as[(String, String)].collect().sorted.toSeq
+    assert(readB == readA, "resumed export diverged")
+  }
+
+  test("dumpFilter exports a predicate slice with chunk commits") {
+    import spark.implicits._
+    val (_, src) = fixture
+    val out = SparkTestSession.tmpDir("graft_export_f")
+    val res = Export.dumpFilter(spark, src,
+      length(col("text")) > 200, out, chunks = 3)
+    val want = src.filter(length(col("text")) > 200).count()
+    assert(res.rows == want && want > 0)
+    val back = spark.read
+      .parquet((0 until 3).map(c => s"$out/chunk=$c"): _*)
+    assert(back.count() == want)
+    assert(back.filter(length(col("text")) <= 200).count() == 0)
+  }
+}

@@ -131,6 +131,18 @@ class PipelineSpec extends AnyFunSuite {
     }
     val recall = approx.count(x => exactTop20.contains(x._1)) / 20.0
     assert(recall >= 0.8, s"recall@20 = $recall < 0.8")
+    // OR-of-tables union: 4 seed-mixed tables must lift recall to
+    // >= 0.9 (the single-table multiprobe floor above is 0.8)
+    val multi = Similarity.lshTopK(df, "vec_id", "embedding", 1L, 20,
+      numPlanes = 4, multiprobe = 2, numTables = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    multi.foreach { case (id, c) =>
+      assert(exactScores(id) == c, s"vec $id score differs (multi-table)")
+    }
+    val recall4 = multi.count(x => exactTop20.contains(x._1)) / 20.0
+    assert(recall4 >= 0.9, s"multi-table recall@20 = $recall4 < 0.9")
+    assert(recall4 >= recall,
+      s"more tables reduced recall: $recall4 < $recall")
   }
 
   test("IVF ANN: exact scores, subset of brute force, recall reported") {
