@@ -21,9 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
+  /** `resume = true` mirrors the build's checkpoint semantics: the
+    * docs/terms/stats front half commits as one "stats" checkpoint,
+    * and segments encode in `cfg.numGroups` bucket groups with one
+    * checkpoint each — a 100 TB compaction that dies mid-encode
+    * restarts at the first incomplete group, not from zero. Group
+    * inputs re-derive deterministically from the durable outputs
+    * (outDir/docs + outDir/terms + the source generations), so a
+    * resumed compaction is byte-identical to an uninterrupted one
+    * (ResumeSpec asserts it).
+    */
   def compact(spark: SparkSession, gens: Seq[String], outDir: String,
               cfg: IndexBuilder.Config = IndexBuilder.Config(),
-              buildId: String = "compact"): IndexStats = {
+              buildId: String = "compact",
+              resume: Boolean = true): IndexStats = {
     import spark.implicits._
     val ckpt = new CheckpointStore(spark, outDir)
     val t0 = System.currentTimeMillis()
@@ -31,85 +42,79 @@ object Compaction {
     val shufP =
       if (cfg.shufflePartitions > 0) cfg.shufflePartitions
       else spark.sessionState.conf.numShufflePartitions
+    if (!resume) {
+      IndexPaths.delete(spark, s"$outDir/_checkpoints")
+      IndexPaths.delete(spark, s"$outDir/segments")
+    }
 
-    // 1. docs meta: per url, the row from the LATEST generation wins
-    //    (re-crawl upsert); losers' docIds drop out of everything
-    val docsAll = gens.zipWithIndex.map { case (d, i) =>
-      spark.read.parquet(s"$d/docs").withColumn("gen", lit(i))
-    }.reduce(_ unionByName _)
-    val ranked = docsAll.withColumn("rn",
-      row_number().over(Window.partitionBy($"url").orderBy(desc("gen"),
-        desc("docId"))))
-    val winners = ranked.filter($"rn" === 1).drop("rn", "gen")
-    winners.repartitionByRange(math.max(1, shufP / 2), $"docId")
-      .sortWithinPartitions("docId")
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
+    val statsDone = resume && ckpt.isComplete("stats", 0)
+    if (!statsDone) {
+      // fresh front half invalidates any previously encoded segments
+      IndexPaths.delete(spark, s"$outDir/segments")
+
+      // 1. docs meta: per url, the row from the LATEST generation wins
+      //    (re-crawl upsert); losers' docIds drop out of everything
+      val docsAll = gens.zipWithIndex.map { case (d, i) =>
+        spark.read.parquet(s"$d/docs").withColumn("gen", lit(i))
+      }.reduce(_ unionByName _)
+      val ranked = docsAll.withColumn("rn",
+        row_number().over(Window.partitionBy($"url").orderBy(desc("gen"),
+          desc("docId"))))
+      val winners = ranked.filter($"rn" === 1).drop("rn", "gen")
+      winners.repartitionByRange(math.max(1, shufP / 2), $"docId")
+        .sortWithinPartitions("docId")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
+    }
     val written = spark.read.parquet(s"$outDir/docs")
-    val agg0 = written.agg(count(lit(1)), sum($"dl".cast("long")),
-      max($"docId"), max($"dl".cast("long")), min($"docId")).head()
-    val n = agg0.getLong(0)
-    val totalTokens = agg0.getLong(1)
-    val avgdl = if (n == 0) 0.0 else totalTokens.toDouble / n
-    val maxDl = if (n == 0) 0L else agg0.getLong(3)
-    val minDocId = if (n == 0) 0L else agg0.getLong(4)
-    Norms.write(written.select($"docId", $"dl".cast("int"))
-      .as[(Long, Int)], outDir)
-
-    // 2. postings: decode blocks (no tokenize), drop replaced docs
-    //    (anti join — the loser set can be arbitrarily large in a full
-    //    re-crawl, so never broadcast it)
-    // dl is NOT in the blocks (norms sidecar) — join it back from the
-    // surviving docs meta (the anti join against losers rides along)
-    val decoded = gens.map(d =>
-        spark.read.parquet(s"$d/segments").as[SegmentBlock])
-      .reduce(_ union _)
-      .flatMap { b =>
-        val ds = Codec.decodeDeltas(b.docIdsEnc, b.n, b.firstDocId)
-        val tfs = Codec.decodeVarByte(b.tfsEnc, b.n)
-        val pos: Array[Array[Byte]] =
-          if (b.posEnc == null || b.posEnc.isEmpty) null
-          else Codec.decodePositionsBlock(b.posEnc, b.n)
-            .map(Codec.encodePositions)
-        val term = StagedPosting.termOfSkey(b.skey)
-        (0 until b.n).iterator.map(i =>
-          (term, ds(i), tfs(i).toInt,
-            if (pos == null) Array.emptyByteArray else pos(i)))
-      }
-      .toDF("term", "docId", "tf", "posEnc")
-      .join(written.select($"docId", $"dl".cast("int").as("dl")), "docId")
+    // 2. postings: decoded once, shared by the terms agg and every
+    //    segments group (persisted for the run's lifetime)
+    val decoded = decodedPostings(spark, gens, written)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (!statsDone) {
+      val agg0 = written.agg(count(lit(1)), sum($"dl".cast("long")),
+        max($"docId"), max($"dl".cast("long")), min($"docId")).head()
+      val n = agg0.getLong(0)
+      val totalTokens = agg0.getLong(1)
+      val avgdl = if (n == 0) 0.0 else totalTokens.toDouble / n
+      val maxDl = if (n == 0) 0L else agg0.getLong(3)
+      val minDocId = if (n == 0) 0L else agg0.getLong(4)
+      Norms.write(written.select($"docId", $"dl".cast("int"))
+        .as[(Long, Int)], outDir)
 
-    // 3. terms: recomputed EXACTLY from the surviving postings (a
-    //    metadata re-sum would overcount df/cf once a doc is dropped);
-    //    re-salt under the merged df
-    val termDf = decoded.groupBy($"term")
-      .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("cf"),
-        max($"tf").cast("int").as("maxTf"),
-        min($"dl").cast("int").as("minDl"))
-      .withColumn("saltCount",
-        when($"df" > cfg.saltTarget,
-          ceil($"df".cast("double") / cfg.saltTarget).cast("int"))
-          .otherwise(lit(1)))
-    val termsParts = math.max(1,
-      Integer.highestOneBit(math.max(1, shufP / 4)))
-    termDf
-      .withColumn("termHash", xxhash64($"term"))
-      .select($"term", $"termHash", $"df", $"cf", $"saltCount",
-        $"maxTf", $"minDl")
-      .repartition(termsParts,
-        IndexBuilder.rangePid(col("termHash"), termsParts))
-      .sortWithinPartitions("termHash")
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
+      // 3. terms: recomputed EXACTLY from the surviving postings (a
+      //    metadata re-sum would overcount df/cf once a doc is
+      //    dropped); re-salt under the merged df
+      val termDf = decoded.groupBy($"term")
+        .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("cf"),
+          max($"tf").cast("int").as("maxTf"),
+          min($"dl").cast("int").as("minDl"))
+        .withColumn("saltCount",
+          when($"df" > cfg.saltTarget,
+            ceil($"df".cast("double") / cfg.saltTarget).cast("int"))
+            .otherwise(lit(1)))
+      val termsParts = math.max(1,
+        Integer.highestOneBit(math.max(1, shufP / 4)))
+      termDf
+        .withColumn("termHash", xxhash64($"term"))
+        .select($"term", $"termHash", $"df", $"cf", $"saltCount",
+          $"maxTf", $"minDl")
+        .repartition(termsParts,
+          IndexBuilder.rangePid(col("termHash"), termsParts))
+        .sortWithinPartitions("termHash")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
+      val numTerms = spark.read.parquet(s"$outDir/terms").count()
+      val stats = IndexStats(buildId, n, avgdl, numTerms, cfg.numBuckets,
+        cfg.blockSize, agg0.getLong(2), totalTokens, maxDl, minDocId)
+      IndexPaths.writeStats(spark, outDir, stats)
+      ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
+        IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,
+        System.currentTimeMillis()))
+    }
+
+    // 4. re-key, merge-encode — one checkpointed bucket group at a
+    //    time (mirrors IndexBuilder's segments stage)
+    val stats = IndexPaths.readStats(spark, outDir)
     val termsRead = spark.read.parquet(s"$outDir/terms")
-    val numTerms = termsRead.count()
-    val stats = IndexStats(buildId, n, avgdl, numTerms, cfg.numBuckets,
-      cfg.blockSize, agg0.getLong(2), totalTokens, maxDl, minDocId)
-    IndexPaths.writeStats(spark, outDir, stats)
-    ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
-      IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,
-      System.currentTimeMillis()))
-
-    // 4. re-key, merge-encode
     val shift = 64 - java.lang.Integer.numberOfTrailingZeros(cfg.numBuckets)
     val bucketCol =
       if (cfg.numBuckets == 1) lit(0)
@@ -128,14 +133,30 @@ object Compaction {
       .select($"bucket", $"termHash", $"skey",
         $"docId", $"tf", $"dl", $"posEnc")
       .as[StagedPosting]
-    IndexBuilder.encodeSegments(staged, stats, cfg)
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$outDir/segments")
+    val bucketsPerGroup =
+      math.max(1, math.ceil(cfg.numBuckets.toDouble / cfg.numGroups).toInt)
+    for (g <- 0 until cfg.numGroups) {
+      val lo = g * bucketsPerGroup
+      val hi = math.min(cfg.numBuckets, lo + bucketsPerGroup)
+      if (lo < hi && !(resume && ckpt.isComplete("segments", g))) {
+        val tg = System.currentTimeMillis()
+        // clean any partial output of a previous attempt of THIS group
+        (lo until hi).foreach { b =>
+          IndexPaths.delete(spark, s"$outDir/segments/bucket=$b")
+        }
+        IndexBuilder.encodeSegments(
+            staged.filter($"bucket" >= lo && $"bucket" < hi), stats, cfg)
+          .write.mode(SaveMode.Append).partitionBy("bucket")
+          .parquet(s"$outDir/segments")
+        val bytes = (lo until hi).map(b =>
+          IndexPaths.dirBytes(spark, s"$outDir/segments/bucket=$b")).sum
+        ckpt.commit(Checkpoint(buildId, "segments", g, "COMPLETE", 0L,
+          bytes, lineage, tg, System.currentTimeMillis()))
+        if (cfg.failAfterGroup == g)
+          throw new RuntimeException(s"injected failure after group $g")
+      }
+    }
     decoded.unpersist()
-    ckpt.commit(Checkpoint(buildId, "segments", 0, "COMPLETE",
-      spark.read.parquet(s"$outDir/segments").count(),
-      IndexPaths.dirBytes(spark, s"$outDir/segments"), lineage, t0,
-      System.currentTimeMillis()))
     // carry the newest watermark forward
     gens.flatMap(d => Incremental.readWatermark(spark, d))
       .sortBy(_.getTime).lastOption
@@ -175,5 +196,36 @@ object Compaction {
           .select($"docId").as[Long], outDir)
     }
     stats
+  }
+
+  /** Surviving postings, decoded (no tokenize): blocks of every
+    * generation flat-decoded, then inner-joined to the winner docs
+    * meta — the join drops replaced docs' postings (anti-join
+    * semantics via inner join on survivors; the loser set can be
+    * arbitrarily large in a full re-crawl, so never broadcast) and
+    * carries dl back from the meta (dl is NOT in the blocks — norms
+    * sidecar).
+    */
+  private def decodedPostings(spark: SparkSession, gens: Seq[String],
+      written: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    gens.map(d =>
+        spark.read.parquet(s"$d/segments").as[SegmentBlock])
+      .reduce(_ union _)
+      .flatMap { b =>
+        val ds = Codec.decodeDeltas(b.docIdsEnc, b.n, b.firstDocId)
+        val tfs = Codec.decodeVarByte(b.tfsEnc, b.n)
+        val pos: Array[Array[Byte]] =
+          if (b.posEnc == null || b.posEnc.isEmpty) null
+          else Codec.decodePositionsBlock(b.posEnc, b.n)
+            .map(Codec.encodePositions)
+        val term = StagedPosting.termOfSkey(b.skey)
+        (0 until b.n).iterator.map(i =>
+          (term, ds(i), tfs(i).toInt,
+            if (pos == null) Array.emptyByteArray else pos(i)))
+      }
+      .toDF("term", "docId", "tf", "posEnc")
+      .join(written.select($"docId", $"dl".cast("int").as("dl")), "docId")
   }
 }

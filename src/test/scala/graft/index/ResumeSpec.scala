@@ -55,4 +55,43 @@ class ResumeSpec extends AnyFunSuite {
 
     assert(segmentFingerprint(crashDir) == segmentFingerprint(cleanDir))
   }
+
+  test("compaction crash after group 1, resume → identical segments") {
+    val basePages = PagesGen.pages(spark, 500L)
+    val deltaPages = {
+      import spark.implicits._
+      spark.createDataset((0 until 120).map(i =>
+        PagesGen.row(13L, 30000L + i)))
+    }
+    val baseDir = SparkTestSession.tmpDir("graft_cres_base")
+    val deltaDir = SparkTestSession.tmpDir("graft_cres_delta")
+    IndexBuilder.build(DocIds.fromPages(basePages, 4), baseDir, cfg,
+      "base")
+    Incremental.buildDelta(deltaPages, Seq(baseDir), deltaDir, cfg,
+      useExtractor = false)
+
+    val cleanDir = SparkTestSession.tmpDir("graft_cres_clean")
+    Compaction.compact(spark, Seq(baseDir, deltaDir), cleanDir, cfg)
+
+    val crashDir = SparkTestSession.tmpDir("graft_cres_crash")
+    intercept[RuntimeException] {
+      Compaction.compact(spark, Seq(baseDir, deltaDir), crashDir,
+        cfg.copy(failAfterGroup = 1))
+    }
+    val before = new CheckpointStore(spark, crashDir).list()
+    assert(before.count(_.stage == "segments") == 2)
+    assert(before.count(_.stage == "stats") == 1)
+
+    Compaction.compact(spark, Seq(baseDir, deltaDir), crashDir, cfg)
+    val after = new CheckpointStore(spark, crashDir).list()
+    assert(after.count(_.stage == "segments") == cfg.numGroups)
+    // completed groups and the whole front half must NOT re-run
+    val fBefore = before.map(c => (c.stage, c.unit) -> c.finishedMs).toMap
+    val fAfter = after.map(c => (c.stage, c.unit) -> c.finishedMs).toMap
+    fBefore.foreach { case (k, v) =>
+      assert(fAfter(k) == v, s"$k re-ran on resume")
+    }
+    assert(segmentFingerprint(crashDir) == segmentFingerprint(cleanDir),
+      "resumed compaction != uninterrupted compaction")
+  }
 }
