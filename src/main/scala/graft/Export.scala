@@ -55,9 +55,12 @@ object Export {
           skipped += 1
           total += spark.read.parquet(s"$outDir/chunk=$c").count()
         } else {
+          // row count observed during the write — no re-read job
+          val obs = new org.apache.spark.sql.Observation()
           rows.filter(col("chunk") === c).drop("chunk")
+            .observe(obs, count(lit(1)).as("n"))
             .write.mode(SaveMode.Overwrite).parquet(s"$outDir/chunk=$c")
-          val n = spark.read.parquet(s"$outDir/chunk=$c").count()
+          val n = obs.get("n").asInstanceOf[Long]
           total += n
           ckpt.commit(Checkpoint("export", "export", c, "COMPLETE", n,
             IndexPaths.dirBytes(spark, s"$outDir/chunk=$c"),
@@ -92,9 +95,11 @@ object Export {
           skipped += 1
           total += spark.read.parquet(s"$outDir/chunk=$c").count()
         } else {
+          val obs = new org.apache.spark.sql.Observation()
           rows.filter(col("chunk") === c).drop("chunk")
+            .observe(obs, count(lit(1)).as("n"))
             .write.mode(SaveMode.Overwrite).parquet(s"$outDir/chunk=$c")
-          val n = spark.read.parquet(s"$outDir/chunk=$c").count()
+          val n = obs.get("n").asInstanceOf[Long]
           total += n
           ckpt.commit(Checkpoint("export", "export_f", c, "COMPLETE", n,
             IndexPaths.dirBytes(spark, s"$outDir/chunk=$c"),

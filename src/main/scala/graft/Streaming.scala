@@ -97,6 +97,14 @@ object Streaming {
     // per-run checkpoint (memory sink cannot recover from a previous
     // JVM's checkpoint); nanoTime disambiguates across processes
     val ckpt = s"/tmp/graft_stream_ckpt/${name}_${System.nanoTime()}"
+    // Stateful streaming fixes its state-store count to the shuffle
+    // partition setting at query start; 32 stores × (data batch +
+    // no-data timeout batch + commit each) is pure fixed overhead at
+    // this key cardinality. 8 is plenty wide for the state volume —
+    // restore the session setting afterwards. (At real scale this
+    // knob belongs to the deployment, sized to state bytes / executor.)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val gapMs = gapMinutes.toLong * 60000L
     val reader0 = spark.readStream.schema(schema)
     val reader =
@@ -154,7 +162,8 @@ object Streaming {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000L)
+    try q.awaitTermination(120000L)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     // final flush: sessions still open at end-of-stream live only in
     // the state store (their event-time timeout never fired — the
     // final watermark is max event time, which is < lastTs + gap).
