@@ -183,7 +183,7 @@ object Bench {
       val sDocs =
         sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "120000").toLong
       val sRoot = s"/tmp/graft_bench/$sDocs"
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "5").toInt
       def run(cpus: Int, tag: String, docs: Long): (Double, Double) = {
         val s = session(cpus)
         val r = buildBench(s, docs, s"$sRoot/idx$tag")
@@ -199,7 +199,7 @@ object Bench {
       cpuControl(4) // control JIT warmup
       val benchStart = System.nanoTime()
       val budgetSecs =
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "430").toInt
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "600").toInt
       // Each rep: control(N) → build(N) → build(4N) → control(4N), all
       // adjacent — the host's OWN thread-scaling ratio swings 0.6-1.0
       // between minute-windows (measured: the hashing control gave

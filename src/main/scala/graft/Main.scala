@@ -159,6 +159,17 @@ object Main {
             s"${tombs.size} re-crawled urls tombstoned")
         }
 
+      case "health" =>
+        // per-source health probe (reference HealthStatus surface):
+        // cheap schema + metadata-count check, consecutive-failure
+        // escalation persisted beside the state dir
+        val src = args(1)
+        val stateDir = if (args.length > 2) args(2) else "/tmp/graft_health"
+        val r = graft.data.SourceHealth.probe(spark, src, stateDir)
+        println(s"source $src: ${r.status} " +
+          s"(failures=${r.consecutiveFailures}, rows=${r.rows}" +
+          (if (r.message.nonEmpty) s", ${r.message}" else "") + ")")
+
       case "phrase" =>
         // engine-served phrase search over the positional tier; the
         // CLI shows the first page only — ask for 21 to know whether
@@ -201,5 +212,6 @@ object Main {
     "usage: graft.Main gen <n> <dir> | build <pagesDir|gen:N> <indexDir> " +
       "[buckets] [saltTarget] | search <indexDir[,delta...]> <k> <query...> " +
       "| phrase <indexDir[,delta...]> <word...> | queryset <indexDir> <k> " +
-      "| delta <src> <baseDirs> <deltaDir> | compact <gens> <outDir>")
+      "| delta <src> <baseDirs> <deltaDir> | compact <gens> <outDir> " +
+      "| health <src> [stateDir]")
 }
