@@ -141,6 +141,7 @@ object IndexBuilder {
     // stats all derive from the persisted tf — at 100 TB, re-reading
     // (and re-splitting) the raw text is the single most expensive
     // thing a build can do twice.
+    var fusedWroteSegments = false
     if (!(resume && ckpt.isComplete("postings", 0))) {
       val t0 = System.currentTimeMillis()
       // tf is a PER-DOCUMENT aggregation and documents are rows — so
@@ -310,16 +311,39 @@ object IndexBuilder {
         .select($"bucket", $"termHash", $"skey",
           $"docId", $"tf", $"dl", $"posEnc")
         .as[StagedPosting]
-      // Hash-partition the staging write ON BUCKET: each bucket lands
-      // wholly in one task (1-2 dirs per task, bounded files) with NO
-      // range-sampling pass — the encode stage re-sorts anyway, so a
-      // global order here would be wasted work.
       val obsStaged = new org.apache.spark.sql.Observation()
-      timed("staged-write")(staged
-        .repartition(math.min(shufP, cfg.numBuckets), $"bucket")
-        .observe(obsStaged, count(lit(1)).as("n"))
-        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-        .parquet(s"$outDir/postings_staged"))
+      if (cfg.numGroups == 1) {
+        // FUSED single-group path: the salted posting stream feeds the
+        // encode shuffle directly — tokenized tf (cached) → salt join →
+        // range shuffle → sort → block encode → segments, one
+        // continuous plan. The staged parquet exists to let multi-group
+        // builds re-read one bucket range per group; with one group it
+        // is a full materialization round-trip (write + re-read of the
+        // entire posting stream) bought for nothing but a mid-build
+        // resume point that the single group cannot exploit anyway
+        // (measured: staged-write ≈ 40% of the 8-core build).
+        // Trade-off: a crash mid-encode resumes from tokenize, not
+        // from staged postings — for one group that re-runs the same
+        // stage either way.
+        val encodeStats = IndexStats(buildId, 0, 0.0, 0, cfg.numBuckets,
+          cfg.blockSize, 0, 0, 0, 0)
+        timed("segments-fused")(
+          encodeSegments(staged.observe(obsStaged, count(lit(1)).as("n")),
+              encodeStats, cfg)
+            .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+            .parquet(s"$outDir/segments"))
+        fusedWroteSegments = true
+      } else {
+        // Hash-partition the staging write ON BUCKET: each bucket lands
+        // wholly in one task (1-2 dirs per task, bounded files) with NO
+        // range-sampling pass — the encode stage re-sorts anyway, so a
+        // global order here would be wasted work.
+        timed("staged-write")(staged
+          .repartition(math.min(shufP, cfg.numBuckets), $"bucket")
+          .observe(obsStaged, count(lit(1)).as("n"))
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(s"$outDir/postings_staged"))
+      }
 
       // join the concurrent docs-meta + terms jobs; derive global stats
       timed("docs-job-wait")(scala.concurrent.Await.result(docsJob,
@@ -346,10 +370,22 @@ object IndexBuilder {
       ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
         IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,
         System.currentTimeMillis()))
-      ckpt.commit(Checkpoint(buildId, "postings", 0, "COMPLETE",
-        obsStaged.get("n").asInstanceOf[Long],
-        IndexPaths.dirBytes(spark, s"$outDir/postings_staged"), lineage,
-        t0, System.currentTimeMillis()))
+      if (cfg.numGroups == 1) {
+        // fused path: postings and the single segments group are one
+        // durable unit — both commit here, the group loop below skips
+        ckpt.commit(Checkpoint(buildId, "postings", 0, "COMPLETE",
+          obsStaged.get("n").asInstanceOf[Long],
+          IndexPaths.dirBytes(spark, s"$outDir/segments"), lineage,
+          t0, System.currentTimeMillis()))
+        ckpt.commit(Checkpoint(buildId, "segments", 0, "COMPLETE",
+          obsStaged.get("n").asInstanceOf[Long],
+          IndexPaths.dirBytes(spark, s"$outDir/segments"), lineage,
+          t0, System.currentTimeMillis()))
+      } else
+        ckpt.commit(Checkpoint(buildId, "postings", 0, "COMPLETE",
+          obsStaged.get("n").asInstanceOf[Long],
+          IndexPaths.dirBytes(spark, s"$outDir/postings_staged"), lineage,
+          t0, System.currentTimeMillis()))
     }
 
     // ---- stage: segments, one checkpoint per bucket group ---------
@@ -359,7 +395,8 @@ object IndexBuilder {
     for (g <- 0 until cfg.numGroups) {
       val lo = g * bucketsPerGroup
       val hi = math.min(cfg.numBuckets, lo + bucketsPerGroup)
-      if (lo < hi && !(resume && ckpt.isComplete("segments", g))) {
+      if (lo < hi && !fusedWroteSegments &&
+          !(resume && ckpt.isComplete("segments", g))) {
         val t0 = System.currentTimeMillis()
         // Clean any partial output of a previous attempt of THIS group.
         (lo until hi).foreach { b =>
