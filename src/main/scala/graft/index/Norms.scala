@@ -57,8 +57,16 @@ object Norms {
     */
   final class Reader(gens: Array[GenMeta], conf: SerConf,
                      maxCached: Int = 64) {
+    // access-order LRU: evict ONE cold stride at capacity instead of
+    // clearing all (a task window spanning >maxCached strides
+    // previously thrashed the whole cache on every overflow)
     private val cache =
-      new java.util.HashMap[(Int, Long), Array[Byte]]()
+      new java.util.LinkedHashMap[(Int, Long), Array[Byte]](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Int, Long), Array[Byte]]): Boolean =
+          size() > maxCached
+      }
 
     // commit-marker check once per generation: a norms job that died
     // mid-write leaves stride files but no marker; without this a
@@ -81,7 +89,6 @@ object Norms {
         // bound resident strides (4 MB each): the windowed gather path
         // touches few, but the probe path has no docId window — an
         // unbounded cache there could retain GBs per task
-        if (cache.size >= maxCached) cache.clear()
         val p = new Path(filePath(gens(g).dir, strideId))
         val fs = p.getFileSystem(conf.value)
         ensureCommitted(g, fs)

@@ -135,13 +135,17 @@ object Tombstones {
         ss.foreach(h.add(_)); h
       }
     @transient private lazy val cache =
-      new java.util.HashMap[(Int, Long), Array[Long]]()
+      new java.util.LinkedHashMap[(Int, Long), Array[Long]](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Int, Long), Array[Long]]): Boolean =
+          size() > maxCached
+      }
 
     private def load(g: Int, sid: Long): Array[Long] = {
       val key = (g, sid)
       var arr = cache.get(key)
       if (arr == null) {
-        if (cache.size >= maxCached) cache.clear()
         val p = new Path(s"${dirOf(dirsWithStrides(g)._1)}/s$sid.bin")
         val fs = p.getFileSystem(conf.value)
         val len = fs.getFileStatus(p).getLen

@@ -140,10 +140,21 @@ object Dedup {
     val sh = shingled(docs, idCol, textCol)
     val hashed = sh.as[(Long, Seq[String])].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      val hexC = "0123456789abcdef".toCharArray
       it.map { case (id, shs) =>
         val hs = shs.map { s =>
           md.reset()
-          md.digest(s.getBytes("UTF-8")).map(x => f"$x%02x").mkString
+          val dg = md.digest(s.getBytes("UTF-8"))
+          // hex via lookup chars — the per-byte format-string path
+          // allocated a formatter per byte (4M calls at sf0.1)
+          val cs = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            cs(2 * i) = hexC((dg(i) >> 4) & 0xf)
+            cs(2 * i + 1) = hexC(dg(i) & 0xf)
+            i += 1
+          }
+          new String(cs)
         }
         (id, hs)
       }
@@ -151,16 +162,34 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nH = numHashes
     val sig = hashed.as[(Long, Seq[String])].map { case (id, hs) =>
-      val mh = Array.tabulate(nH) { j =>
+      // slot j = min over digests ROTATED by 2j chars. Comparing
+      // rotations lexicographically never needs the rotated string
+      // materialized: compare char-by-char through the rotation
+      // mapping (identical order to list_min over actual rotations —
+      // the DuckDB mirror builds them for real).
+      def rotLt(a: String, b: String, cut: Int): Boolean = {
+        var i = 0
+        while (i < 32) {
+          val ai = a.charAt((i + cut) & 31)
+          val bi = b.charAt((i + cut) & 31)
+          if (ai != bi) return ai < bi
+          i += 1
+        }
+        false
+      }
+      val mh = new Array[String](nH)
+      var j = 0
+      while (j < nH) {
         val cut = 2 * j
         var best: String = null
         hs.foreach { h =>
-          val r = h.substring(cut) + h.substring(0, cut)
-          if (best == null || r < best) best = r
+          if (best == null || rotLt(h, best, cut)) best = h
         }
-        best
+        // materialize only the winning rotation
+        mh(j) = best.substring(cut) + best.substring(0, cut)
+        j += 1
       }
-      (id, mh.toSeq)
+      (id, scala.collection.immutable.ArraySeq.unsafeWrapArray(mh): Seq[String])
     }.toDF("doc_id", "mh")
     val banded = sig.select(col("doc_id"), explode(
       array((0 until bands).map { b =>
