@@ -56,6 +56,27 @@ class ResumeSpec extends AnyFunSuite {
     assert(segmentFingerprint(crashDir) == segmentFingerprint(cleanDir))
   }
 
+  test("fused single-group build == staged multi-group build, byte-identical") {
+    // numGroups=1 skips the staged-postings parquet and encodes
+    // straight from the posting stream; the segment CONTENT must be
+    // exactly what the staged path produces — same blocks, same bytes
+    // (block boundaries are a pure function of each skey's run).
+    val docs = DocIds.fromPages(PagesGen.pages(spark, 700L), 6)
+    docs.cache().count()
+    val fusedDir = SparkTestSession.tmpDir("graft_fused")
+    val stagedDir = SparkTestSession.tmpDir("graft_staged")
+    val posCfg = cfg.copy(withPositions = true)
+    IndexBuilder.build(docs, fusedDir, posCfg.copy(numGroups = 1), "f")
+    IndexBuilder.build(docs, stagedDir, posCfg.copy(numGroups = 4), "s")
+    assert(segmentFingerprint(fusedDir) == segmentFingerprint(stagedDir))
+    // the fused path must have written no staging parquet at all
+    assert(!IndexPaths.exists(spark, s"$fusedDir/postings_staged"))
+    assert(IndexPaths.exists(spark, s"$stagedDir/postings_staged"))
+    // and both checkpoints exist so resume skips the fused build whole
+    val ck = new CheckpointStore(spark, fusedDir)
+    assert(ck.isComplete("postings", 0) && ck.isComplete("segments", 0))
+  }
+
   test("compaction crash after group 1, resume → identical segments") {
     val basePages = PagesGen.pages(spark, 500L)
     val deltaPages = {
