@@ -134,15 +134,25 @@ object Tombstones {
         val h = new java.util.HashSet[java.lang.Long](ss.length * 2)
         ss.foreach(h.add(_)); h
       }
-    @transient private lazy val cache =
-      new java.util.LinkedHashMap[(Int, Long), Array[Long]](
-        16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(Int, Long), Array[Long]]): Boolean =
-          size() > maxCached
+    // The mask is BROADCAST: one instance is shared by every task
+    // thread in an executor JVM, so the stride cache must be
+    // per-thread — an access-order LinkedHashMap rewires its links on
+    // every get() and corrupts under concurrent use (hangs/lost
+    // entries). Strides are small (a stride holds only its own
+    // tombstoned ids), so per-thread duplication is cheap.
+    @transient private lazy val cacheTL =
+      new ThreadLocal[java.util.LinkedHashMap[(Int, Long), Array[Long]]] {
+        override def initialValue() =
+          new java.util.LinkedHashMap[(Int, Long), Array[Long]](
+            16, 0.75f, true) {
+            override def removeEldestEntry(
+                e: java.util.Map.Entry[(Int, Long), Array[Long]]): Boolean =
+              size() > maxCached
+          }
       }
 
     private def load(g: Int, sid: Long): Array[Long] = {
+      val cache = cacheTL.get()
       val key = (g, sid)
       var arr = cache.get(key)
       if (arr == null) {
