@@ -89,11 +89,27 @@ object EntryIndex {
     val idx = ensure(spark, dir)
     val src = spark.read.parquet(s"$dir/documents.parquet")
       .select(concat(lit("doc://"), col("doc_id")).as("url"), col("text"))
-    val out = s"/tmp/graft_export/${System.nanoTime()}"
+    // deterministic per (table, query) — a nanoTime dir per call would
+    // leak a full text export into /tmp on every verify/bench run
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$query".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val out = s"/tmp/graft_export/v1_$h"
+    IndexPaths.delete(spark, out)
     val chunks = 4
     Export.dumpQuery(spark, Seq(idx), query, src, out,
       chunks = chunks, resume = false)
-    spark.read.parquet((0 until chunks).map(c => s"$out/chunk=$c"): _*)
+    // explicit schema: a zero-hit query writes chunks with no part
+    // files, which schema inference rejects (and an empty export is a
+    // valid result, not an error)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    spark.read.schema(schema)
+      .parquet((0 until chunks).map(c => s"$out/chunk=$c"): _*)
       .select(col("doc_id"), col("url"), md5(col("text")).as("fp"))
       .orderBy("doc_id")
   }

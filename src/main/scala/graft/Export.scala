@@ -36,6 +36,13 @@ object Export {
     import spark.implicits._
     val nChunks = math.max(1, chunks)
     val ckpt = new CheckpointStore(spark, outDir)
+    // resume is only valid for the SAME query and chunking: chunk
+    // checkpoints are keyed by index alone, so without this a re-run
+    // with a different query into the same outDir would skip every
+    // chunk and serve the old query's rows under the new manifest
+    val lineage = s"export;chunks=$nChunks;q=${tag(query)}"
+    if (resume && ckpt.invalidateUnlessLineage(lineage))
+      deleteChunks(spark, outDir)
     val t0 = System.currentTimeMillis()
     val ids = Searcher.conjunctiveDocs(spark, indexDirs, query)
       .toDF("docId")
@@ -64,7 +71,7 @@ object Export {
           total += n
           ckpt.commit(Checkpoint("export", "export", c, "COMPLETE", n,
             IndexPaths.dirBytes(spark, s"$outDir/chunk=$c"),
-            s"query=$query", t0, System.currentTimeMillis()))
+            lineage, t0, System.currentTimeMillis()))
         }
       }
       IndexPaths.writeString(spark, s"$outDir/manifest.json",
@@ -82,6 +89,11 @@ object Export {
                  resume: Boolean = true): ExportResult = {
     val nChunks = math.max(1, chunks)
     val ckpt = new CheckpointStore(spark, outDir)
+    // Column.toString is a stable render of the expression tree —
+    // enough to fence resumes against a different predicate/chunking
+    val lineage = s"export_f;chunks=$nChunks;p=${tag(predicate.toString)}"
+    if (resume && ckpt.invalidateUnlessLineage(lineage))
+      deleteChunks(spark, outDir)
     val t0 = System.currentTimeMillis()
     val rows = srcDocs.filter(predicate)
       .withColumn("chunk",
@@ -103,13 +115,32 @@ object Export {
           total += n
           ckpt.commit(Checkpoint("export", "export_f", c, "COMPLETE", n,
             IndexPaths.dirBytes(spark, s"$outDir/chunk=$c"),
-            "filter", t0, System.currentTimeMillis()))
+            lineage, t0, System.currentTimeMillis()))
         }
       }
       IndexPaths.writeString(spark, s"$outDir/manifest.json",
         s"""{"rows":$total,"chunks":$nChunks}""")
       ExportResult(total, nChunks, skipped)
     } finally rows.unpersist()
+  }
+
+  /** Deterministic short fingerprint for lineage fields — checkpoint
+    * JSON is flat-parsed, so raw query/predicate text (quotes, commas)
+    * must never be embedded verbatim.
+    */
+  private def tag(s: String): String =
+    java.util.UUID.nameUUIDFromBytes(s.getBytes("UTF-8")).toString
+
+  /** Remove every chunk=* dir of a previous incompatible export: a
+    * smaller new chunk count would otherwise leave orphan chunk dirs a
+    * globbing consumer would read alongside the new ones.
+    */
+  private def deleteChunks(spark: SparkSession, outDir: String): Unit = {
+    val f = IndexPaths.fs(spark, outDir)
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    if (f.exists(p))
+      f.listStatus(p).filter(_.getPath.getName.startsWith("chunk="))
+        .foreach(s => f.delete(s.getPath, true))
   }
 
   private def jsonStr(s: String): String =

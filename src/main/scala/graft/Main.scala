@@ -121,12 +121,11 @@ object Main {
         val baseDirs = args(2).split(",").toSeq
         val deltaDir = args(3)
         val pages = readPages(spark, src)
-        // probe against the NEWEST generation — the base's stale
-        // watermark/fingerprint would report Changed forever once any
-        // delta exists
-        val probeDir = baseDirs.maxBy(d =>
-          graft.index.Incremental.readWatermark(spark, d)
-            .map(_.getTime).getOrElse(Long.MinValue))
+        // probe against the most recently STAMPED generation — the
+        // base's stale watermark/fingerprint would report Changed
+        // forever once any delta exists (and watermark order breaks on
+        // same-timestamp edits, see Incremental.probeTarget)
+        val probeDir = graft.index.Incremental.probeTarget(spark, baseDirs)
         val (verdict, trail) =
           graft.index.Incremental.detectChange(pages, probeDir)
         println(s"change probes: " + trail.map { case (p, v) =>
@@ -152,11 +151,14 @@ object Main {
           // fingerprint the FULL source at delta time so the next
           // delta's probes compare against current state
           graft.index.Incremental.writeFingerprint(pages, deltaDir)
-          val tombs =
-            graft.index.Incremental.readTombstones(spark, deltaDir)
+          // metadata count only — collecting the ids to print a size
+          // is the O(corpus) driver pull the strided sidecar exists to
+          // avoid (a full re-crawl tombstones the whole base)
+          val nTombs = graft.index.Incremental
+            .tombstoneParquetCount(spark, deltaDir)
           println(s"delta over watermark=$wm: $nFresh new docs → " +
             s"${stats.numDocs} indexed, maxDocId=${stats.maxDocId}, " +
-            s"${tombs.size} re-crawled urls tombstoned")
+            s"$nTombs re-crawled urls tombstoned")
         }
 
       case "health" =>

@@ -104,8 +104,12 @@ object Streaming {
     // restore the session setting afterwards. (At real scale this
     // knob belongs to the deployment, sized to state bytes / executor.)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val gapMs = gapMinutes.toLong * 60000L
+    // the try/finally must cover query CONSTRUCTION too — an analysis
+    // or start() failure would otherwise leave the whole session pinned
+    // to 8 shuffle partitions for every later query
+    try {
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val reader0 = spark.readStream.schema(schema)
     val reader =
       if (maxFilesPerTrigger > 0)
@@ -162,8 +166,8 @@ object Streaming {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(120000L)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination(120000L)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     // final flush: sessions still open at end-of-stream live only in
     // the state store (their event-time timeout never fired — the
     // final watermark is max event time, which is < lastTs + gap).

@@ -38,12 +38,23 @@ object Compaction {
     import spark.implicits._
     val ckpt = new CheckpointStore(spark, outDir)
     val t0 = System.currentTimeMillis()
-    val lineage = gens.mkString(",")
+    // lineage = inputs + every config knob the artifacts depend on: a
+    // resume must never trust checkpoints from a run over different
+    // generations (delta2 silently missing, its tombstones wrongly
+    // dropped as in-range) or a different bucket/group layout (group
+    // checkpoints would gate the wrong bucket ranges)
+    val lineage = gens.mkString(",") +
+      s";b=${cfg.numBuckets};g=${cfg.numGroups};bs=${cfg.blockSize}" +
+      s";st=${cfg.saltTarget};pos=${cfg.withPositions}"
     val shufP =
       if (cfg.shufflePartitions > 0) cfg.shufflePartitions
       else spark.sessionState.conf.numShufflePartitions
     if (!resume) {
       IndexPaths.delete(spark, s"$outDir/_checkpoints")
+      IndexPaths.delete(spark, s"$outDir/segments")
+    } else if (ckpt.invalidateUnlessLineage(lineage)) {
+      // reused outDir, different inputs/config: segments were encoded
+      // under the old lineage's stage boundaries — discard them too
       IndexPaths.delete(spark, s"$outDir/segments")
     }
 

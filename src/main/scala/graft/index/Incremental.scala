@@ -65,6 +65,30 @@ object Incremental {
     IndexPaths.writeString(spark, s"$indexDir/watermark.json",
       s"""{"maxWarcTs":"$ts"}""")
 
+  /** The generation to probe/diff against: the one whose fingerprint
+    * was stamped most recently (file mtime; list-order breaks ties, so
+    * base,delta order picks the delta). Max-by-WATERMARK is wrong here:
+    * a delta built from a same-timestamp content edit has a watermark
+    * <= the base's, so the base's STALE fingerprint would win the tie
+    * and every later probe would report Changed and re-ingest the same
+    * edit forever. Falls back to max-watermark for legacy generations
+    * without a fingerprint.
+    */
+  def probeTarget(spark: SparkSession, dirs: Seq[String]): String = {
+    val stamped = dirs.flatMap { d =>
+      val p = s"$d/fingerprint.json"
+      if (!IndexPaths.exists(spark, p)) None
+      else Some(d -> IndexPaths.fs(spark, d).getFileStatus(
+        new org.apache.hadoop.fs.Path(p)).getModificationTime)
+    }
+    if (stamped.nonEmpty)
+      // last max on an mtime tie (maxBy keeps the first): generations
+      // are conventionally listed base-first, newest last
+      stamped.zipWithIndex.maxBy { case ((_, t), i) => (t, i) }._1._1
+    else dirs.maxBy(d =>
+      readWatermark(spark, d).map(_.getTime).getOrElse(Long.MinValue))
+  }
+
   /** Change detection: pages strictly newer than the watermark. */
   def newPages(pages: Dataset[PageRow],
                watermark: Option[Timestamp]): Dataset[PageRow] =

@@ -131,6 +131,17 @@ object IndexBuilder {
     val spark = docs.sparkSession
     import spark.implicits._
     val ckpt = new CheckpointStore(spark, outDir)
+    // bake the layout config into the committed lineage so a resume
+    // into a reused outDir never trusts checkpoints from a run over a
+    // different source or bucket/group layout (group checkpoints would
+    // gate the wrong bucket ranges, staged postings the wrong salt)
+    val lineageEff = lineage +
+      s";b=${cfg.numBuckets};g=${cfg.numGroups};bs=${cfg.blockSize}" +
+      s";st=${cfg.saltTarget};pos=${cfg.withPositions}"
+    if (resume && ckpt.invalidateUnlessLineage(lineageEff)) {
+      IndexPaths.delete(spark, s"$outDir/segments")
+      IndexPaths.delete(spark, s"$outDir/postings_staged")
+    }
     val shufP =
       if (cfg.shufflePartitions > 0) cfg.shufflePartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -368,23 +379,23 @@ object IndexBuilder {
         IndexStats(buildId, n, avgdl, numTerms, cfg.numBuckets,
           cfg.blockSize, maxDocId, totalToks, maxDl, minDocId))
       ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
-        IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,
+        IndexPaths.dirBytes(spark, s"$outDir/docs"), lineageEff, t0,
         System.currentTimeMillis()))
       if (cfg.numGroups == 1) {
         // fused path: postings and the single segments group are one
         // durable unit — both commit here, the group loop below skips
         ckpt.commit(Checkpoint(buildId, "postings", 0, "COMPLETE",
           obsStaged.get("n").asInstanceOf[Long],
-          IndexPaths.dirBytes(spark, s"$outDir/segments"), lineage,
+          IndexPaths.dirBytes(spark, s"$outDir/segments"), lineageEff,
           t0, System.currentTimeMillis()))
         ckpt.commit(Checkpoint(buildId, "segments", 0, "COMPLETE",
           obsStaged.get("n").asInstanceOf[Long],
-          IndexPaths.dirBytes(spark, s"$outDir/segments"), lineage,
+          IndexPaths.dirBytes(spark, s"$outDir/segments"), lineageEff,
           t0, System.currentTimeMillis()))
       } else
         ckpt.commit(Checkpoint(buildId, "postings", 0, "COMPLETE",
           obsStaged.get("n").asInstanceOf[Long],
-          IndexPaths.dirBytes(spark, s"$outDir/postings_staged"), lineage,
+          IndexPaths.dirBytes(spark, s"$outDir/postings_staged"), lineageEff,
           t0, System.currentTimeMillis()))
     }
 
@@ -415,7 +426,7 @@ object IndexBuilder {
         val bytes = (lo until hi).map(b =>
           IndexPaths.dirBytes(spark, s"$outDir/segments/bucket=$b")).sum
         ckpt.commit(Checkpoint(buildId, "segments", g, "COMPLETE",
-          nBlocks, bytes, lineage, t0, System.currentTimeMillis()))
+          nBlocks, bytes, lineageEff, t0, System.currentTimeMillis()))
         if (cfg.failAfterGroup == g)
           throw new RuntimeException(s"injected failure after group $g")
       }

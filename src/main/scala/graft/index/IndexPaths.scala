@@ -109,6 +109,20 @@ class CheckpointStore(spark: SparkSession, dir: String) {
 
   private def path(stage: String, unit: Int) = s"$root/${stage}_$unit.json"
 
+  /** Remove every checkpoint whose lineage differs from `expected` and
+    * report whether any existed: a resume into a reused outDir must not
+    * trust checkpoints from a run over DIFFERENT inputs or layout
+    * config — `isComplete` alone would skip stages and silently serve
+    * the previous run's artifacts. Callers that encode artifacts from
+    * checkpoint-gated stages must also discard those artifacts when
+    * this returns true (the stage boundaries no longer line up).
+    */
+  def invalidateUnlessLineage(expected: String): Boolean = {
+    val stale = list().filter(_.lineage != expected)
+    stale.foreach(c => IndexPaths.delete(spark, path(c.stage, c.unit)))
+    stale.nonEmpty
+  }
+
   def isComplete(stage: String, unit: Int): Boolean =
     IndexPaths.exists(spark, path(stage, unit)) && {
       val m = IndexPaths.parseFlatJson(

@@ -146,17 +146,29 @@ object Norms {
           buf(off + 2) = (dl >>> 8).toByte
           buf(off + 3) = dl.toByte
         }
-        val tmp = new Path(filePath(target, sid) + ".tmp")
+        // tmp name is attempt-unique: speculative/retried twins of the
+        // same stride task must not truncate each other's in-flight tmp
+        // (a shared name lets B's create(overwrite) tear A's bytes just
+        // before A renames them into place)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new Path(filePath(target, sid) + s".tmp.$attempt")
         val fin = new Path(filePath(target, sid))
         val fs = tmp.getFileSystem(bc.value.value)
         val out = fs.create(tmp, true)
         try out.write(buf) finally out.close()
+        // Hadoop rename fails (returns false) when the destination
+        // exists. A destination left by a PREVIOUS run into a reused
+        // dir holds STALE dl bytes — treating that rename failure as
+        // success would commit the old dataset under the new marker.
+        // Delete-then-rename is safe: the only other writer of this
+        // path is an identical twin of this task (same deterministic
+        // bytes), so whichever rename wins, the content is correct.
+        if (fs.exists(fin)) fs.delete(fin, false)
         if (!fs.rename(tmp, fin)) {
-          // dest exists from a concurrent identical attempt, or the
-          // rename genuinely failed — require the committed file
           if (!fs.exists(fin))
             throw new java.io.IOException(s"norms stride commit failed: $fin")
-          fs.delete(tmp, false)
+          fs.delete(tmp, false) // twin won the re-create race
         }
         sid
       }

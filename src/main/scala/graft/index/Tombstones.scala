@@ -60,14 +60,20 @@ object Tombstones {
         java.util.Arrays.sort(arr)
         val buf = java.nio.ByteBuffer.allocate(arr.length * 8)
         arr.foreach(buf.putLong)
-        val tmp = new Path(s"$dir/.tmp_s$sid.bin")
+        // attempt-unique tmp: a speculative/retried twin sharing the
+        // tmp name could truncate this attempt's in-flight bytes
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new Path(s"$dir/.tmp_s$sid.bin.$attempt")
         val fin = new Path(s"$dir/s$sid.bin")
         val fs = tmp.getFileSystem(bc.value.value)
         val out = fs.create(tmp, true)
         try out.write(buf.array()) finally out.close()
-        // a lost rename race means a retry/speculative twin already
-        // committed the identical bytes (stride ownership is exclusive
-        // per attempt, content deterministic)
+        // delete-then-rename: Hadoop rename fails when dest exists, and
+        // a dest left by a previous run into a reused dir holds STALE
+        // ids — only an identical twin (same deterministic bytes) can
+        // race the re-create, so any winner commits correct content
+        if (fs.exists(fin)) fs.delete(fin, false)
         if (!fs.rename(tmp, fin)) {
           require(fs.exists(fin), s"tombstone stride commit failed: $fin")
           fs.delete(tmp, false)
@@ -127,7 +133,7 @@ object Tombstones {
     */
   final case class StridedMask(dirsWithStrides: Array[(String, Array[Long])],
                                conf: Norms.SerConf,
-                               maxCached: Int = 64) extends Mask {
+                               maxCached: Int = 8) extends Mask {
     def isEmpty = false
     @transient private lazy val strideSets: Array[java.util.HashSet[java.lang.Long]] =
       dirsWithStrides.map { case (_, ss) =>
@@ -138,8 +144,13 @@ object Tombstones {
     // thread in an executor JVM, so the stride cache must be
     // per-thread — an access-order LinkedHashMap rewires its links on
     // every get() and corrupts under concurrent use (hangs/lost
-    // entries). Strides are small (a stride holds only its own
-    // tombstoned ids), so per-thread duplication is cheap.
+    // entries). Per-thread duplication is cheap for the cache sizes
+    // here, but the broadcast itself is LONG-LIVED: without cleanup a
+    // dense stride array (up to 8 MB at full-re-crawl density) ×
+    // maxCached × task threads would stay pinned until the broadcast
+    // is GC'd — so each task registers a completion listener that
+    // drops its thread's cache (tasks have docId-window locality; the
+    // cache never pays off across tasks anyway).
     @transient private lazy val cacheTL =
       new ThreadLocal[java.util.LinkedHashMap[(Int, Long), Array[Long]]] {
         override def initialValue() =
@@ -150,8 +161,18 @@ object Tombstones {
               size() > maxCached
           }
       }
+    @transient private lazy val registeredFor =
+      new ThreadLocal[java.lang.Long]
 
     private def load(g: Int, sid: Long): Array[Long] = {
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) {
+        val id = java.lang.Long.valueOf(tc.taskAttemptId())
+        if (!id.equals(registeredFor.get())) {
+          tc.addTaskCompletionListener[Unit](_ => cacheTL.remove())
+          registeredFor.set(id)
+        }
+      }
       val cache = cacheTL.get()
       val key = (g, sid)
       var arr = cache.get(key)

@@ -86,6 +86,33 @@ class ExportSpec extends AnyFunSuite {
     assert(readB == readA, "resumed export diverged")
   }
 
+  test("resume with a DIFFERENT query re-exports instead of serving stale chunks") {
+    import spark.implicits._
+    val (dir, src) = fixture
+    val texts = src.select($"text").as[String].take(3)
+    val q1 = {
+      val ts = graft.functions.Tokenize.tokens(texts(0)).distinct
+      s"${ts(0)} ${ts(1)}"
+    }
+    val q2 = {
+      val ts = graft.functions.Tokenize.tokens(texts(2)).distinct
+      s"${ts(1)} ${ts(2)}"
+    }
+    assume(q1 != q2)
+    val out = SparkTestSession.tmpDir("graft_export_lineage")
+    Export.dumpQuery(spark, Seq(dir), q1, src, out, chunks = 4)
+    // same outDir, resume=true default, different query: checkpoint
+    // lineage must invalidate — no chunk may be "skipped"
+    val res2 = Export.dumpQuery(spark, Seq(dir), q2, src, out, chunks = 4)
+    assert(res2.skipped == 0, "stale chunks served for a different query")
+    val got = spark.read
+      .parquet((0 until 4).map(c => s"$out/chunk=$c"): _*)
+      .select($"url").as[String].collect().toSet
+    val want = naiveAnd(src,
+      graft.functions.Tokenize.tokens(q2).distinct.toSeq)
+    assert(got == want)
+  }
+
   test("dumpFilter exports a predicate slice with chunk commits") {
     import spark.implicits._
     val (_, src) = fixture

@@ -84,6 +84,30 @@ class ChangeDetectSpec extends AnyFunSuite {
       "precondition: the edit is invisible to the watermark rung")
   }
 
+  test("same-ts edit converges: the next run probes the delta, not the base") {
+    import spark.implicits._
+    val base = SparkTestSession.tmpDir("graft_cd_conv_base")
+    val delta = SparkTestSession.tmpDir("graft_cd_conv_delta")
+    val maxTs = new java.sql.Timestamp(PagesGen.Epoch + 49L * 37000L)
+    val orig = PagesGen.pages(spark, 50L)
+    writeWatermark(spark, base, maxTs)
+    writeFingerprint(orig, base)
+    val edited = orig.map(p =>
+      if (p.url.endsWith("/3")) p.copy(text = p.text + " x") else p)
+    // run 1 of the delta flow: checksum rung fires, delta gets stamped
+    // with the CURRENT source; its watermark ties the base's (the edit
+    // kept warc_ts — the case max-by-watermark probe selection loses)
+    assert(detectChange(edited, probeTarget(spark, Seq(base)))._1 == Changed)
+    writeFingerprint(edited, delta)
+    writeWatermark(spark, delta, maxTs)
+    // run 2: the probe target must be the delta; probing the base's
+    // stale fingerprint would report Changed and re-ingest the same
+    // edit forever
+    val probe = probeTarget(spark, Seq(base, delta))
+    assert(probe == delta, s"probed $probe")
+    assert(detectChange(edited, probe)._1 == Unchanged)
+  }
+
   test("no sidecars → Unknown with a full Unknown trail") {
     val empty = SparkTestSession.tmpDir("graft_cd_empty")
     val (v, trail) = detectChange(PagesGen.pages(spark, 10L), empty)

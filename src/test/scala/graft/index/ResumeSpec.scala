@@ -77,6 +77,37 @@ class ResumeSpec extends AnyFunSuite {
     assert(ck.isComplete("postings", 0) && ck.isComplete("segments", 0))
   }
 
+  test("recompacting DIFFERENT generations into a reused outDir recomputes") {
+    import spark.implicits._
+    val basePages = PagesGen.pages(spark, 400L)
+    val d1Pages = spark.createDataset((0 until 80).map(i =>
+      PagesGen.row(17L, 40000L + i)))
+    val d2Pages = spark.createDataset((0 until 60).map(i =>
+      PagesGen.row(19L, 50000L + i)))
+    val baseDir = SparkTestSession.tmpDir("graft_lin_base")
+    val d1Dir = SparkTestSession.tmpDir("graft_lin_d1")
+    val d2Dir = SparkTestSession.tmpDir("graft_lin_d2")
+    IndexBuilder.build(DocIds.fromPages(basePages, 4), baseDir, cfg, "b")
+    Incremental.buildDelta(d1Pages, Seq(baseDir), d1Dir, cfg,
+      useExtractor = false)
+    Incremental.buildDelta(d2Pages, Seq(baseDir, d1Dir), d2Dir, cfg,
+      useExtractor = false)
+
+    val out = SparkTestSession.tmpDir("graft_lin_out")
+    Compaction.compact(spark, Seq(baseDir, d1Dir), out, cfg)
+    // resume=true default + COMPLETE checkpoints from the 2-gen run:
+    // without lineage validation every stage would skip and d2's docs
+    // would silently be missing from the "compacted" index
+    val stats3 = Compaction.compact(spark,
+      Seq(baseDir, d1Dir, d2Dir), out, cfg)
+    val cleanDir = SparkTestSession.tmpDir("graft_lin_clean")
+    val statsClean = Compaction.compact(spark,
+      Seq(baseDir, d1Dir, d2Dir), cleanDir, cfg)
+    assert(stats3.numDocs == statsClean.numDocs)
+    assert(segmentFingerprint(out) == segmentFingerprint(cleanDir),
+      "reused-outDir recompaction served stale artifacts")
+  }
+
   test("compaction crash after group 1, resume → identical segments") {
     val basePages = PagesGen.pages(spark, 500L)
     val deltaPages = {
