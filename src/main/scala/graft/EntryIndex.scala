@@ -28,7 +28,7 @@ object EntryIndex {
         .sorted.mkString(",")
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|$sig".getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    s"/tmp/graft_entry_index/v8_$h" // v8: norms _complete commit marker
+    s"/tmp/graft_entry_index/v9_$h" // v9: stats.json positions flag
   }
 
   def ensure(spark: SparkSession, dir: String): String = synchronized {

@@ -114,8 +114,19 @@ object Compaction {
         .sortWithinPartitions("termHash")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
       val numTerms = spark.read.parquet(s"$outDir/terms").count()
+      // positional tier survives the merge for docs that had one:
+      // any positional input gen → the output can phrase-match (docs
+      // from non-positional gens just can't — documented partial
+      // semantics, IncrementalSpec's mixed case); all-absent → false;
+      // any legacy-unknown (and none true) → unknown
+      val genPos = gens.map(d => IndexPaths.readStats(spark, d).positions)
+      val posFlag =
+        if (genPos.exists(_.contains(true))) Some(true)
+        else if (genPos.forall(_.contains(false))) Some(false)
+        else None
       val stats = IndexStats(buildId, n, avgdl, numTerms, cfg.numBuckets,
-        cfg.blockSize, agg0.getLong(2), totalTokens, maxDl, minDocId)
+        cfg.blockSize, agg0.getLong(2), totalTokens, maxDl, minDocId,
+        positions = posFlag)
       IndexPaths.writeStats(spark, outDir, stats)
       ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
         IndexPaths.dirBytes(spark, s"$outDir/docs"), lineage, t0,

@@ -74,27 +74,57 @@ object DocIds {
       .sortWithinPartitions("url")
       .as[String]
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Ranks are over DISTINCT urls: a crawl batch can capture the same
+    // page twice, and without dedup the rank pass would mint one docId
+    // per duplicate ROW while the payload join-back cross-products
+    // them — duplicate docIds that WAND then double-scores with no
+    // error anywhere. Sorted partitions make duplicates adjacent, so
+    // both passes dedup with a previous-value compare, for free.
+    // Counts accumulate in a Long — Iterator.size returns Int, which
+    // silently wraps past 2^31 rows per partition (real at the
+    // 10^12-url design point).
     val counts = IndexBuilder.timed("docids-rank")(urlsSorted
-      .mapPartitions(it => Iterator.single(it.size))(Encoders.scalaInt)
+      .mapPartitions { it =>
+        var n = 0L; var prev: String = null
+        it.foreach { u => if (u != prev) { n += 1; prev = u } }
+        Iterator.single(n)
+      }(Encoders.scalaLong)
       .collect())
     val offsets = counts.scanLeft(offset)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
     val ids = urlsSorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var rank = bc.value(pid)
-      it.map { url => val r = (url, rank); rank += 1; r }
+      var prev: String = null
+      it.flatMap { url =>
+        if (url == prev) Iterator.empty
+        else {
+          prev = url; val r = (url, rank); rank += 1; Iterator.single(r)
+        }
+      }
     }.toDF("url", "docId")
-    // join the payload back; cache the result — callers traverse the
-    // corpus more than once (tf pass, docs-meta pass)
+    // Join the payload back, one winner per url: max_by on the content
+    // hash is deterministic (tied hashes mean identical text), and the
+    // partial aggregate collapses duplicate payloads map-side BEFORE
+    // the shuffle — the common exact-duplicate case never ships twice.
+    // The groupBy(url) output is hash-partitioned by url, which the
+    // join reuses, so the payload still crosses the network once.
+    // Cache the result — callers traverse the corpus more than once
+    // (tf pass, docs-meta pass).
     val assigned = docs
       .select(col("url").cast("string"), col("text").cast("string"))
+      .groupBy("url")
+      .agg(max_by(col("text"),
+        xxhash64(col("url"), col("text"))).as("text"))
       .join(ids, "url")
       .select(col("docId"), col("url"), col("text"))
       .as[Doc]
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // urlsSorted stays cached (skinny) until assigned materializes —
-    // unpersisting early would force a deterministic-but-wasteful
-    // recompute of the rank shuffle inside the join.
+    // materialize here so the skinny rank cache can be dropped — it
+    // would otherwise stay pinned in executor storage for the
+    // application lifetime (one leak per incremental delta)
+    assigned.count()
+    urlsSorted.unpersist(false)
     assigned
   }
 }

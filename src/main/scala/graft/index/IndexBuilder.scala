@@ -377,7 +377,8 @@ object IndexBuilder {
         if (n == 0) 0L else obsDocs.get("minId").asInstanceOf[Long]
       IndexPaths.writeStats(spark, outDir,
         IndexStats(buildId, n, avgdl, numTerms, cfg.numBuckets,
-          cfg.blockSize, maxDocId, totalToks, maxDl, minDocId))
+          cfg.blockSize, maxDocId, totalToks, maxDl, minDocId,
+          positions = Some(cfg.withPositions)))
       ckpt.commit(Checkpoint(buildId, "stats", 0, "COMPLETE", n,
         IndexPaths.dirBytes(spark, s"$outDir/docs"), lineageEff, t0,
         System.currentTimeMillis()))

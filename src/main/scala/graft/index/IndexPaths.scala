@@ -65,7 +65,8 @@ object IndexPaths {
         s""""avgdl":${s.avgdl},"numTerms":${s.numTerms},""" +
         s""""numBuckets":${s.numBuckets},"blockSize":${s.blockSize},""" +
         s""""maxDocId":${s.maxDocId},"totalTokens":${s.totalTokens},""" +
-        s""""maxDl":${s.maxDl},"minDocId":${s.minDocId}}""")
+        s""""maxDl":${s.maxDl},"minDocId":${s.minDocId}""" +
+        s.positions.map(p => s""","positions":$p""").getOrElse("") + "}")
 
   def readStats(spark: SparkSession, dir: String): IndexStats = {
     val m = parseFlatJson(readString(spark, s"$dir/stats.json"))
@@ -73,7 +74,8 @@ object IndexPaths {
       m("numTerms").toLong, m("numBuckets").toInt, m("blockSize").toInt,
       m("maxDocId").toLong, m.getOrElse("totalTokens", "0").toLong,
       m.getOrElse("maxDl", "0").toLong,
-      m.getOrElse("minDocId", "0").toLong)
+      m.getOrElse("minDocId", "0").toLong,
+      m.get("positions").map(_.toBoolean))
   }
 
   /** Parse a flat one-level JSON object with string/number values. */

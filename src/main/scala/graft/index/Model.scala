@@ -62,7 +62,15 @@ case class SegmentBlock(bucket: Int, termHash: Long, skey: String,
 case class IndexStats(buildId: String, numDocs: Long, avgdl: Double,
                       numTerms: Long, numBuckets: Int, blockSize: Int,
                       maxDocId: Long, totalTokens: Long,
-                      maxDl: Long = 0L, minDocId: Long = 0L)
+                      maxDl: Long = 0L, minDocId: Long = 0L,
+                      /** Some(true/false) = the generation does/does
+                        * not carry the positional tier; None = legacy
+                        * stats.json predating the flag (unknown).
+                        * Phrase serve fails fast when every generation
+                        * affirmatively lacks positions — a silent
+                        * always-empty result is indistinguishable from
+                        * "phrase not present". */
+                      positions: Option[Boolean] = None)
 
 /** Per-unit build checkpoint with lineage + metrics — the direct
   * descendant of the reference's resumable DownloadChunk

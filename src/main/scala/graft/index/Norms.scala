@@ -114,6 +114,33 @@ object Norms {
     }
   }
 
+  // Task-scoped Reader reuse: flatMapGroups invokes its function once
+  // per GROUP and a partition can hold many groups — a fresh Reader
+  // per group starts with a cold cache and re-reads the same 4 MB
+  // stride files. Keyed by the gens array's identity (one broadcast
+  // value per executor), per-thread (Reader is not thread-safe), and
+  // dropped at task completion so nothing outlives the task.
+  private val taskReaderMaps =
+    new ThreadLocal[java.util.HashMap[AnyRef, Reader]] {
+      override def initialValue() = new java.util.HashMap[AnyRef, Reader]()
+    }
+  private val taskReaderTask = new ThreadLocal[java.lang.Long]
+
+  def taskReader(gens: Array[GenMeta], conf: SerConf): Reader = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc == null) return new Reader(gens, conf)
+    val id = java.lang.Long.valueOf(tc.taskAttemptId())
+    if (!id.equals(taskReaderTask.get())) {
+      taskReaderMaps.get().clear()
+      tc.addTaskCompletionListener[Unit](_ => taskReaderMaps.remove())
+      taskReaderTask.set(id)
+    }
+    val m = taskReaderMaps.get()
+    var r = m.get(gens)
+    if (r == null) { r = new Reader(gens, conf); m.put(gens, r) }
+    r
+  }
+
   /** Write the norms files for one generation from its (docId, dl)
     * rows. Distributed: each stride is owned by exactly one task
     * (groupByKey on strideId), which fills a 4 MB buffer and writes

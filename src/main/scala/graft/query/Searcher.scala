@@ -62,6 +62,62 @@ object Searcher {
 
   def invalidateTermCache(dir: String): Unit = termCaches.remove(dir)
 
+  /** Per-generation pruned dictionary lookup through the shared
+    * positive/negative term cache: one termHash-pushdown scan per
+    * generation fetches only cache misses (the dictionary is
+    * range-sorted by termHash, so the scan touches 1-2 row groups per
+    * term, never the dictionary). Shared by the BM25 and match paths —
+    * the logic is exactness-adjacent (negative caching, collision
+    * filter), so exactly one copy exists.
+    */
+  private def lookupMetas(spark: SparkSession, indexDirs: Seq[String],
+                          terms: Seq[String]): Seq[Map[String, TermMeta]] = {
+    import spark.implicits._
+    indexDirs.map { d =>
+      val cache = termCacheFor(d)
+      val missing = terms.filterNot(cache.containsKey)
+      if (missing.nonEmpty) {
+        val missingHashes = missing.map(IndexBuilder.xxhash)
+        val fetched = spark.read.parquet(s"$d/terms")
+          .filter($"termHash".isin(missingHashes: _*))
+          .as[TermMeta].collect()
+          .filter(t => missing.contains(t.term)) // hash-collision guard
+          .map(t => t.term -> t).toMap
+        missing.foreach(t =>
+          cache.put(t, fetched.get(t))) // negative-cache absent terms
+      }
+      terms.flatMap(t =>
+        Option(cache.get(t)).flatten.map(t -> _)).toMap
+    }
+  }
+
+  /** Storage keys of a term in one generation: the salted sub-run keys
+    * when the build split it, else the term itself. The salt layout is
+    * per-generation (saltCount depends on that generation's df).
+    */
+  private def storageKeys(term: String, tm: TermMeta): Seq[String] =
+    if (tm.saltCount > 1)
+      (0 until tm.saltCount).map(s => IndexBuilder.saltKey(term, s))
+    else Seq(term)
+
+  /** docId → scatter range (floor split of [0, maxDoc) into `ranges`). */
+  private def rangeOf(docId: Long, ranges: Int, maxDoc: Long): Int =
+    math.min(ranges - 1, (docId * ranges / math.max(1L, maxDoc)).toInt)
+
+  /** The EXACT preimage [lo, hi) of rangeOf(r): rangeOf floors
+    * docId·R/M, whose preimage for range r is [ceil(r·M/R),
+    * ceil((r+1)·M/R)). A floor-based lo/hi would mask out boundary
+    * docIds when M % R != 0 — silent doc loss: a block ending exactly
+    * on the boundary is scattered only to range r but the window
+    * would exclude its last doc.
+    */
+  private def rangeWindow(r: Int, ranges: Int, maxDoc: Long): (Long, Long) = {
+    val lo = (r.toLong * maxDoc + ranges - 1) / ranges
+    val hi = if (r == ranges - 1) Long.MaxValue
+             else ((r.toLong + 1) * maxDoc + ranges - 1) / ranges
+    (lo, hi)
+  }
+
   /** Driver-side query plan for one query. */
   private case class Plan(queryId: Long, terms: Seq[TermMeta],
                           termIdx: Map[String, Int])
@@ -100,6 +156,9 @@ object Searcher {
                   probeMinTotalDf: Long = 100000L,
                   offset: Int = 0): Dataset[SearchHit] = {
     import spark.implicits._
+    // k <= 0 is a valid degenerate ask (e.g. an empty pagination
+    // window) — TopK(0) would crash in the gather tasks
+    if (k <= 0) return spark.emptyDataset[SearchHit]
     val depth = k + math.max(0, offset) // the cut every bound targets
     val statsList = indexDirs.map(d => IndexPaths.readStats(spark, d))
     // Re-crawl tombstones: replaced base docIds are masked out of
@@ -144,26 +203,10 @@ object Searcher {
     }.toMap
     val allTerms = qTerms.values.flatten.toSeq.distinct
     if (allTerms.isEmpty) return spark.emptyDataset[SearchHit]
-    // per index generation: term -> meta (salt layout is per-index).
-    // A driver-side cache skips the dictionary job for already-seen
-    // terms (stopwords repeat constantly across queries); misses are
-    // fetched in one pruned scan and negative results are cached too.
-    val metaPerIndex: Seq[Map[String, TermMeta]] = indexDirs.map { d =>
-      val cache = Searcher.termCacheFor(d)
-      val missing = allTerms.filterNot(cache.containsKey)
-      if (missing.nonEmpty) {
-        val missingHashes = missing.map(IndexBuilder.xxhash)
-        val fetched = spark.read.parquet(s"$d/terms")
-          .filter($"termHash".isin(missingHashes: _*))
-          .as[TermMeta].collect()
-          .filter(t => missing.contains(t.term))
-          .map(t => t.term -> t).toMap
-        missing.foreach(t =>
-          cache.put(t, fetched.get(t))) // negative-cache absent terms
-      }
-      allTerms.flatMap(t =>
-        Option(cache.get(t)).flatten.map(t -> _)).toMap
-    }
+    // per index generation: term -> meta (salt layout is per-index),
+    // via the shared cached pruned lookup
+    val metaPerIndex: Seq[Map[String, TermMeta]] =
+      lookupMetas(spark, indexDirs, allTerms)
     val metaByTerm: Map[String, TermMeta] = allTerms.flatMap { term =>
       val metas = metaPerIndex.flatMap(_.get(term))
       if (metas.isEmpty) None
@@ -241,12 +284,7 @@ object Searcher {
             val t = p.terms.head // sorted by df asc
             val idf = BM25.idf(stats.numDocs, t.df)
             metaPerIndex.flatMap(_.get(t.term)).flatMap { tm =>
-              val keys =
-                if (tm.saltCount > 1)
-                  (0 until tm.saltCount).map(s =>
-                    IndexBuilder.saltKey(t.term, s))
-                else Seq(t.term)
-              keys.map(kk => kk -> ((p.queryId, idf)))
+              storageKeys(t.term, tm).map(kk => kk -> ((p.queryId, idf)))
             }
           }
           .groupBy(_._1).map { case (kk, v) => kk -> v.map(_._2).distinct }
@@ -305,12 +343,7 @@ object Searcher {
           val idf = BM25.idf(stats.numDocs, t.df)
           val residual = theta0(p.queryId) - (ubSum - ubByTerm(t.term))
           metaPerIndex.flatMap(_.get(t.term)).flatMap { tm =>
-            val keys =
-              if (tm.saltCount > 1)
-                (0 until tm.saltCount).map(s =>
-                  IndexBuilder.saltKey(t.term, s))
-              else Seq(t.term)
-            keys.map(k =>
+            storageKeys(t.term, tm).map(k =>
               k -> ((p.queryId, p.termIdx(t.term), idf, residual)))
           }
         }
@@ -320,8 +353,6 @@ object Searcher {
     val bcTheta0 = spark.sparkContext.broadcast(theta0)
     val maxDoc = stats.maxDocId + 1
     val ranges = math.max(1, numRanges)
-    def rangeOf(docId: Long): Int =
-      math.min(ranges - 1, (docId * ranges / math.max(1L, maxDoc)).toInt)
 
     // per-query df order for the AND driver choice
     val dfOrder: Map[Long, Seq[Int]] =
@@ -335,11 +366,8 @@ object Searcher {
     val blocks = indexDirs.zip(statsList).map { case (d, st) =>
       val idxMetas = metaPerIndex(indexDirs.indexOf(d))
       val idxKeys = plans.flatMap(_.terms.map(_.term)).distinct
-        .flatMap(term => idxMetas.get(term).toSeq.flatMap { tm =>
-          if (tm.saltCount > 1)
-            (0 until tm.saltCount).map(s => IndexBuilder.saltKey(term, s))
-          else Seq(term)
-        })
+        .flatMap(term => idxMetas.get(term).toSeq
+          .flatMap(tm => storageKeys(term, tm)))
       val idxHashes = idxKeys.map(IndexBuilder.xxhash)
       val idxBuckets = idxHashes
         .map(h => IndexBuilder.bucketOf(h, st.numBuckets)).distinct
@@ -363,7 +391,8 @@ object Searcher {
           val bound = BM25.score(b.maxTf.toLong, b.minDl.toLong,
             avgdl, idf)
           if (bound < residual) Iterator.empty
-          else (rangeOf(b.firstDocId) to rangeOf(b.lastDocId)).iterator
+          else (rangeOf(b.firstDocId, ranges, maxDoc) to
+                rangeOf(b.lastDocId, ranges, maxDoc)).iterator
             .map(r => (qid, r, tIdx, idf, b))
       }
     }
@@ -373,19 +402,16 @@ object Searcher {
       .groupByKey(x => (x._1, x._2))
       .flatMapGroups { (key: (Long, Int),
                         it: Iterator[(Long, Int, Int, Double, SegmentBlock)]) =>
-        // Window bounds MUST invert rangeOf exactly: rangeOf uses
-        // floor(docId·R/M), whose preimage for range r is
-        // [ceil(r·M/R), ceil((r+1)·M/R)). A floor-based lo/hi here
-        // would mask out boundary docIds when M % R != 0 (silent doc
-        // loss — a block ending exactly on the boundary is scattered
-        // only to range r but the window excluded its last doc).
         val (qid, r) = key
-        val lo = (r.toLong * maxDoc + ranges - 1) / ranges
-        val hi = if (r == ranges - 1) Long.MaxValue
-                 else ((r.toLong + 1) * maxDoc + ranges - 1) / ranges
+        // exact rangeOf preimage — the silent-doc-loss proof lives on
+        // rangeWindow
+        val (lo, hi) = rangeWindow(r, ranges, maxDoc)
         // group blocks per (termIdx, skey) → cursors
         val bySkey = it.toSeq.groupBy(x => (x._3, x._5.skey))
-        val norms = new graft.index.Norms.Reader(bcGens.value,
+        // task-scoped reader: flatMapGroups runs once per GROUP and a
+        // partition holds many (query, range) groups — a fresh Reader
+        // per group would re-read the same 4 MB norms strides
+        val norms = graft.index.Norms.taskReader(bcGens.value,
           bcConf.value)
         val cursors = bySkey.map { case ((tIdx, _), rows) =>
           val idf = rows.head._4
@@ -466,24 +492,25 @@ object Searcher {
     if (slots.isEmpty) return spark.emptyDataset[Long]
     val distinctTerms = slots.distinct
     val statsList = indexDirs.map(d => IndexPaths.readStats(spark, d))
+    // Fail fast on an index with NO positional tier anywhere: every
+    // candidate would fail the position verify and the caller would
+    // get an empty result indistinguishable from "phrase not
+    // present" — wrong answers with no error. Mixed generations stay
+    // allowed (docs from non-positional gens simply can't
+    // phrase-match — documented partial semantics); legacy stats
+    // without the flag (None) pass through, unknowable.
+    if (verifyPositions && statsList.nonEmpty &&
+        statsList.forall(_.positions.contains(false)))
+      throw new IllegalArgumentException(
+        "phrase search needs the positional tier, but every " +
+          s"generation of ${indexDirs.mkString(",")} was built " +
+          "without positions (Config.withPositions) — rebuild with " +
+          "positions or use conjunctiveDocs/searchMulti")
     val maxDoc = statsList.map(_.maxDocId).max + 1
     // pruned dictionary lookups per generation (cache shared with
     // the BM25 path)
-    val metaPerIndex: Seq[Map[String, TermMeta]] = indexDirs.map { d =>
-      val cache = Searcher.termCacheFor(d)
-      val missing = distinctTerms.filterNot(cache.containsKey)
-      if (missing.nonEmpty) {
-        val missingHashes = missing.map(IndexBuilder.xxhash)
-        val fetched = spark.read.parquet(s"$d/terms")
-          .filter($"termHash".isin(missingHashes: _*))
-          .as[TermMeta].collect()
-          .filter(t => missing.contains(t.term))
-          .map(t => t.term -> t).toMap
-        missing.foreach(t => cache.put(t, fetched.get(t)))
-      }
-      distinctTerms.flatMap(t =>
-        Option(cache.get(t)).flatten.map(t -> _)).toMap
-    }
+    val metaPerIndex: Seq[Map[String, TermMeta]] =
+      lookupMetas(spark, indexDirs, distinctTerms)
     // every phrase term must exist in at least one generation
     if (distinctTerms.exists(t => metaPerIndex.forall(!_.contains(t))))
       return spark.emptyDataset[Long]
@@ -495,25 +522,15 @@ object Searcher {
     // storage keys → distinct-term index (merged across generations)
     val keyUses: Map[String, Int] = metaPerIndex.flatMap { metas =>
       metas.toSeq.flatMap { case (term, tm) =>
-        val keys =
-          if (tm.saltCount > 1)
-            (0 until tm.saltCount).map(s => IndexBuilder.saltKey(term, s))
-          else Seq(term)
-        keys.map(_ -> tIdx(term))
+        storageKeys(term, tm).map(_ -> tIdx(term))
       }
     }.toMap
     val bcUses = spark.sparkContext.broadcast(keyUses)
     val ranges = math.max(1, numRanges)
-    def rangeOf(docId: Long): Int =
-      math.min(ranges - 1, (docId * ranges / math.max(1L, maxDoc)).toInt)
     val blocks = indexDirs.zip(statsList).map { case (d, st) =>
       val hs = metaPerIndex(indexDirs.indexOf(d)).toSeq.flatMap {
         case (term, tm) =>
-          val keys =
-            if (tm.saltCount > 1)
-              (0 until tm.saltCount).map(s => IndexBuilder.saltKey(term, s))
-            else Seq(term)
-          keys.map(IndexBuilder.xxhash)
+          storageKeys(term, tm).map(IndexBuilder.xxhash)
       }
       val bks = hs.map(h => IndexBuilder.bucketOf(h, st.numBuckets)).distinct
       spark.read.parquet(s"$d/segments")
@@ -530,15 +547,14 @@ object Searcher {
                 else b.copy(posEnc = Array.emptyByteArray))
       .flatMap { b =>
       bcUses.value.get(b.skey).iterator.flatMap { ti =>
-        (rangeOf(b.firstDocId) to rangeOf(b.lastDocId)).iterator
+        (rangeOf(b.firstDocId, ranges, maxDoc) to
+         rangeOf(b.lastDocId, ranges, maxDoc)).iterator
           .map(r => (r, ti, b))
       }
     }
       .groupByKey(_._1)
       .flatMapGroups { (r: Int, it: Iterator[(Int, Int, SegmentBlock)]) =>
-        val lo = (r.toLong * maxDoc + ranges - 1) / ranges
-        val hi = if (r == ranges - 1) Long.MaxValue
-                 else ((r.toLong + 1) * maxDoc + ranges - 1) / ranges
+        val (lo, hi) = rangeWindow(r, ranges, maxDoc)
         val bySkey = it.toSeq.groupBy(x => (x._2, x._3.skey))
         val byTerm = Array.fill(nDistinct)(
           scala.collection.mutable.ArrayBuffer.empty[Cursor])

@@ -112,6 +112,10 @@ final class Cursor(val termIdx: Int, val idf: Double,
   * the WAND θ — a candidate must beat the weakest kept entry.
   */
 final class TopK(k: Int) {
+  // k >= 1: with k = 0, threshold/offer would read scores(0) of a
+  // zero-length array (callers guard k <= 0 with an early empty
+  // return — this require turns a silent heap bug into a loud one)
+  require(k >= 1, s"TopK needs k >= 1, got $k")
   // min-heap ordered by (score asc, docId desc) so the weakest entry
   // (lowest score, then highest docId) sits at the root.
   private val scores = new Array[Double](k)
@@ -123,10 +127,6 @@ final class TopK(k: Int) {
 
   def threshold: Double =
     if (size < k) Double.NegativeInfinity else scores(0)
-
-  /** Would (s, d) enter the heap? */
-  def qualifies(s: Double, d: Long): Boolean =
-    size < k || worseThan(scores(0), ids(0), s, d)
 
   def offer(s: Double, d: Long): Unit = {
     if (size < k) {

@@ -28,6 +28,36 @@ class DocIdsSpec extends AnyFunSuite {
     assert(ids.toSeq == (0L until 300L))
   }
 
+  test("duplicate urls collapse to one deterministic doc, ranks stay dense") {
+    import spark.implicits._
+    val base = (0L until 100L).map(i => PagesGen.row(42L, i))
+    // one exact duplicate row + one same-url content variant
+    val dupExact = base(7)
+    val dupVariant = base(13).copy(text = base(13).text + " variant")
+    val pages = spark.createDataset(
+      scala.util.Random.shuffle(base ++ Seq(dupExact, dupVariant)))
+    val docs = DocIds.fromPages(pages, 5).collect()
+    // exactly one row per url, ranks dense over DISTINCT urls — a
+    // duplicate capture must never mint a second docId (it would be
+    // double-scored by WAND with no error anywhere)
+    assert(docs.length == 100)
+    assert(docs.map(_.docId).sorted.toSeq == (0L until 100L))
+    assert(docs.map(_.url).distinct.length == 100)
+    // winner among content variants is deterministic (max content
+    // hash): a re-run over a reshuffled copy picks the same rows
+    val winner = docs.find(_.url == dupVariant.url).get.text
+    assert(Seq(base(13).text, dupVariant.text).contains(winner))
+    val rerun = DocIds.fromPages(spark.createDataset(
+        scala.util.Random.shuffle(base ++ Seq(dupExact, dupVariant))), 3)
+      .collect().map(d => d.url -> (d.docId, d.text)).toMap
+    assert(docs.map(d => d.url -> (d.docId, d.text)).toMap == rerun)
+    // and the mapping matches a run on the pre-deduped input
+    val clean = DocIds.fromPages(spark.createDataset(
+      base.updated(13, base(13).copy(text = winner))), 5)
+      .collect().map(d => d.url -> (d.docId, d.text)).toMap
+    assert(docs.map(d => d.url -> (d.docId, d.text)).toMap == clean)
+  }
+
   test("extractor path produces identical docs to text column") {
     val pages = PagesGen.pages(spark, 200L)
     val a = DocIds.fromPages(pages, 3, useExtractor = true).collect()

@@ -147,14 +147,17 @@ class IncrementalSpec extends AnyFunSuite {
     assert(byUrl(Seq(compDir), 10) == byUrl(Seq(fullDir), 10),
       "compacted != full rebuild after re-crawl")
 
-    // phrase search masks tombstones too (the dead version's docId
-    // must never surface from ANY evaluator)
+    // the match path (shared by phrase and conjunctive serve) masks
+    // tombstones too — the dead version's docId must never surface
+    // from ANY evaluator. This fixture has no positional tier (phrase
+    // now fails fast on it — IndexSearchSpec covers that), so the
+    // mask is exercised through the position-free conjunctive walk.
     val phTerms = graft.functions.Tokenize.tokens(
       recrawled.head.text).take(3).mkString(" ")
-    val phHits = Searcher.phraseSearch(spark, Seq(baseDir, deltaDir),
-      phTerms, numRanges = 4)
+    val phHits = Searcher.conjunctiveDocs(spark, Seq(baseDir, deltaDir),
+      phTerms, numRanges = 4).collect()
     assert(phHits.forall(d => !tombs.contains(d)),
-      "phrase returned a tombstoned docId")
+      "conjunctive match returned a tombstoned docId")
 
     // SUBSET compaction (delta alone, base excluded) must CARRY the
     // tombstones pointing at the base — otherwise the replaced base

@@ -209,4 +209,20 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(cks.forall(c => c.rowCount > 0 && c.bytes > 0))
     assert(cks.forall(_.lineage.contains("pages")))
   }
+
+  test("k <= 0 is empty, not a heap crash; phrase fails fast sans positions") {
+    val qs = Seq(graft.query.QuerySpec(1L, "the term000001"))
+    assert(Searcher.search(spark, indexDir, qs, k = 0).collect().isEmpty)
+    assert(Searcher.search(spark, indexDir, qs, k = -3).collect().isEmpty)
+    // the shared fixture is built WITHOUT the positional tier: phrase
+    // serve must raise, not return a silent always-empty result
+    val e = intercept[IllegalArgumentException] {
+      Searcher.phraseSearch(spark, Seq(indexDir), "the term000001")
+    }
+    assert(e.getMessage.contains("positional tier"))
+    // the position-free conjunctive path stays available (the
+    // synthetic vocabulary is termNNNNNN — term000000 is the heaviest)
+    assert(Searcher.conjunctiveDocs(spark, Seq(indexDir), "term000000")
+      .count() > 0)
+  }
 }
