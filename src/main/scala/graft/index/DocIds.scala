@@ -69,6 +69,19 @@ object DocIds {
     import spark.implicits._
     val p = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
+    // free the PREVIOUS assign's skinny cache: it must outlive its own
+    // `assigned` materialization (the rank shuffle feeds the join), so
+    // it cannot be freed below — releasing it here bounds live skinny
+    // caches to one instead of one per build for the app lifetime
+    // (repeated incremental deltas previously accumulated them)
+    Option(lastSkinny.getAndSet(null)).foreach { prev =>
+      // the previous build may belong to an already-stopped session
+      // (bench cycles sessions per parallelism config) — its cache
+      // died with the context, and unpersist on it throws
+      try {
+        if (!prev.sparkSession.sparkContext.isStopped) prev.unpersist(false)
+      } catch { case _: Exception => () }
+    }
     val urlsSorted = docs.select(col("url").cast("string"))
       .repartitionByRange(p, col("url"))
       .sortWithinPartitions("url")
@@ -79,18 +92,21 @@ object DocIds {
     // per duplicate ROW while the payload join-back cross-products
     // them — duplicate docIds that WAND then double-scores with no
     // error anywhere. Sorted partitions make duplicates adjacent, so
-    // both passes dedup with a previous-value compare, for free.
+    // both passes dedup with a previous-value compare, for free — and
+    // the same walk counts total rows, so duplicate PRESENCE is known
+    // here and the payload-side dedup below is paid only when real.
     // Counts accumulate in a Long — Iterator.size returns Int, which
     // silently wraps past 2^31 rows per partition (real at the
     // 10^12-url design point).
     val counts = IndexBuilder.timed("docids-rank")(urlsSorted
       .mapPartitions { it =>
-        var n = 0L; var prev: String = null
-        it.foreach { u => if (u != prev) { n += 1; prev = u } }
-        Iterator.single(n)
-      }(Encoders.scalaLong)
+        var n = 0L; var d = 0L; var prev: String = null
+        it.foreach { u => n += 1; if (u != prev) { d += 1; prev = u } }
+        Iterator.single((d, n))
+      }
       .collect())
-    val offsets = counts.scanLeft(offset)(_ + _)
+    val hasDups = counts.exists(c => c._2 != c._1)
+    val offsets = counts.map(_._1).scanLeft(offset)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
     val ids = urlsSorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -103,28 +119,35 @@ object DocIds {
         }
       }
     }.toDF("url", "docId")
-    // Join the payload back, one winner per url: max_by on the content
-    // hash is deterministic (tied hashes mean identical text), and the
-    // partial aggregate collapses duplicate payloads map-side BEFORE
-    // the shuffle — the common exact-duplicate case never ships twice.
-    // The groupBy(url) output is hash-partitioned by url, which the
-    // join reuses, so the payload still crosses the network once.
-    // Cache the result — callers traverse the corpus more than once
-    // (tf pass, docs-meta pass).
-    val assigned = docs
+    // Join the payload back — deduped to one winner per url ONLY when
+    // the skinny walk saw duplicates: max_by on the content hash is
+    // deterministic (tied hashes mean identical text), the partial
+    // aggregate collapses duplicate payloads map-side BEFORE the
+    // shuffle, and the groupBy(url) output is hash-partitioned by url
+    // so the join reuses it (payload still crosses the network once).
+    // The common unique-url batch skips the agg entirely and keeps the
+    // single fused join→consume stage — the dedup guard costs nothing
+    // when there is nothing to dedup. Cache the result — callers
+    // traverse the corpus more than once (tf pass, docs-meta pass).
+    val payload0 = docs
       .select(col("url").cast("string"), col("text").cast("string"))
-      .groupBy("url")
-      .agg(max_by(col("text"),
-        xxhash64(col("url"), col("text"))).as("text"))
+    val payload =
+      if (!hasDups) payload0
+      else payload0.groupBy("url")
+        .agg(max_by(col("text"),
+          xxhash64(col("url"), col("text"))).as("text"))
+    val assigned = payload
       .join(ids, "url")
       .select(col("docId"), col("url"), col("text"))
       .as[Doc]
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize here so the skinny rank cache can be dropped — it
-    // would otherwise stay pinned in executor storage for the
-    // application lifetime (one leak per incremental delta)
-    assigned.count()
-    urlsSorted.unpersist(false)
+    lastSkinny.set(urlsSorted)
     assigned
   }
+
+  /** The previous assign's skinny url cache — freed on the next call
+    * (see above); at most one stays live.
+    */
+  private val lastSkinny =
+    new java.util.concurrent.atomic.AtomicReference[Dataset[String]]()
 }
