@@ -21,18 +21,34 @@ object Streaming {
   /** The file streaming source requires a DIRECTORY — stage the single
     * events file into one (at scale the source would be an Iceberg
     * incremental read / a landing directory already).
+    *
+    * The cache key fingerprints the source CONTENT (name/len/mtime,
+    * the EntryIndex rule: a changed table must never silently reuse a
+    * stale copy — keying on the path alone would stream old data
+    * against a fresh oracle), and the copy goes through a tmp name +
+    * rename so a crash mid-copy can never leave a truncated file that
+    * passes the exists check forever.
     */
   private def stageDir(spark: SparkSession, dir: String): String = synchronized {
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val sfs = graft.index.IndexPaths.fs(spark, dir)
+    val sig = sfs.listStatus(srcPath)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(",")
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      .digest(s"$dir|$sig".getBytes("UTF-8")).map(b => f"$b%02x").mkString
     val out = s"/tmp/graft_stream_src/$h"
-    if (!graft.index.IndexPaths.exists(spark, s"$out/events.parquet")) {
+    val fin = new org.apache.hadoop.fs.Path(s"$out/events.parquet")
+    if (!graft.index.IndexPaths.exists(spark, fin.toString)) {
       val fs = graft.index.IndexPaths.fs(spark, out)
       fs.mkdirs(new org.apache.hadoop.fs.Path(out))
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"),
-        fs, new org.apache.hadoop.fs.Path(s"$out/events.parquet"),
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$out/.events.parquet.tmp")
+      fs.delete(tmp, true)
+      org.apache.hadoop.fs.FileUtil.copy(sfs, srcPath, fs, tmp,
         false, spark.sparkContext.hadoopConfiguration)
+      if (!fs.rename(tmp, fin) && !fs.exists(fin))
+        throw new java.io.IOException(s"staging commit failed: $fin")
     }
     out
   }
@@ -52,7 +68,9 @@ object Streaming {
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000L)
+    // a timed-out drain must FAIL, not silently serve the
+    // half-populated memory sink as if it were the final answer
+    require(q.awaitTermination(120000L), "streamAgg drain timed out")
     spark.table(name).orderBy("event_type")
   }
 
@@ -166,7 +184,7 @@ object Streaming {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000L)
+    require(q.awaitTermination(120000L), "sessionize drain timed out")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     // final flush: sessions still open at end-of-stream live only in
     // the state store (their event-time timeout never fired — the
@@ -181,8 +199,20 @@ object Streaming {
         col("value").getField("groupState").getField("nEvents")
           .cast("long").as("n_events"))
       .filter(col("n_events") > 0)
-    spark.table(name).unionByName(open)
+    val merged = spark.table(name).unionByName(open)
       .orderBy("user_id", "session_id")
+    // Pin the result, then drop the per-run residue: the memory-sink
+    // table and the nanoTime checkpoint/state dir otherwise accumulate
+    // one copy per call across a verify/bench session. Sessions are
+    // O(users) rows — the memory SINK already held them on the driver,
+    // so localizing the result adds nothing new; at deployment scale
+    // the sink would be a real table and none of this path exists.
+    val rows = merged.collect()
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), merged.schema)
+    spark.catalog.dropTempView(name)
+    graft.index.IndexPaths.delete(spark, ckpt)
+    out
   }
 
   /** Tumbling event-time window aggregation with a watermark — the
@@ -203,7 +233,7 @@ object Streaming {
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000L)
+    require(q.awaitTermination(120000L), "windowedCounts drain timed out")
     spark.table(name)
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
         .as("hr"), col("event_type"), col("n"))

@@ -46,12 +46,16 @@ object SourceHealth {
 
   private def write(spark: SparkSession, stateDir: String,
                     r: HealthRecord): Unit = {
+    // SANITIZE, don't escape: parseFlatJson understands no escape
+    // sequences, so a stored \" would flip its in-quotes state and a
+    // later read would crash or corrupt — permanently bricking the
+    // source's health record (probe() reads before writing). The
+    // record is an operator surface; lossy replacement is fine.
     def esc(s: String) =
-      s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
+      s.map {
+        case '"' | '\\' => ' '
+        case c if c < ' ' => ' '
+        case c => c
       }
     IndexPaths.writeString(spark, recPath(stateDir, r.source),
       s"""{"source":"${esc(r.source)}","status":"${r.status}",""" +

@@ -25,7 +25,11 @@ object Tokenize {
     */
   def tokens(text: String): Array[String] = {
     if (text == null) return Array.empty
-    text.toLowerCase.split(SplitPattern).filter(_.nonEmpty)
+    // Locale.ROOT: bare toLowerCase is default-locale-sensitive (a
+    // tr_TR JVM maps I→ı), which would silently diverge from Spark's
+    // locale-independent lower() and break query↔index agreement
+    text.toLowerCase(java.util.Locale.ROOT)
+      .split(SplitPattern).filter(_.nonEmpty)
   }
 
   /** Column form built from codegen'd Spark built-ins (no UDF): stays

@@ -31,8 +31,9 @@ object Dedup {
     * shingle is boilerplate can be lost (and those are the pairs a
     * near-dup pass wants to ignore).
     */
-  /** (doc_id, shs) with typed shingling, persisted — the plan below
-    * references it several times (explode, both verify sides).
+  /** (doc_id, shs) with typed shingling. Not persisted: its single
+    * consumer ([[minhashLsh]]) derives and persists `hashed` from it
+    * in one pass — a persist here would only add a materialization.
     */
   private def shingled(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
@@ -43,7 +44,6 @@ object Dedup {
       .map { case (id, tx) => (id, TextOps.shinglesScala(tx)) }
       .toDF("doc_id", "shs")
       .filter(size(col("shs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
@@ -63,6 +63,9 @@ object Dedup {
       }
       .toDF("doc_id", "shh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (unpersisted below once the small result set materializes —
+    // cached dedup intermediates otherwise accumulate across the many
+    // queries a Verify/Bench session runs)
     // df per shingle; ONE join tags every exploded row hot/cool
     val dfs = ex.groupBy(col("shh")).agg(count(lit(1)).as("sdf"))
     val withDf = ex.join(dfs, "shh")
@@ -112,6 +115,22 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac_r"))
       .orderBy("doc_a", "doc_b")
+      .transform(materializeAndFree(ex))
+  }
+
+  /** Materialize the (small — thresholded pairs) result while the
+    * heavy cached intermediate is hot, then free the intermediate: a
+    * lazily returned plan would pin it in executor storage for the
+    * whole session. The result itself stays cached; it is orders of
+    * magnitude smaller than the exploded/hashed inputs.
+    */
+  private def materializeAndFree(intermediates: DataFrame*)(
+      out: DataFrame): DataFrame = {
+    val cached = out.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    intermediates.foreach(_.unpersist(false))
+    cached
   }
 
   /** MinHash + LSH near-dup pairs. Signature slot j = min over
@@ -134,6 +153,12 @@ object Dedup {
                  saltCells: Int = 3): DataFrame = {
     require(numHashes >= 1 && numHashes <= 16,
       s"rotation family supports 1..16 hashes (32 hex chars / 2), got $numHashes")
+    // bands must tile the signature exactly: bands=0 divides by zero,
+    // bands > numHashes makes every band value the empty string (an
+    // all-pairs candidate blowup), and a non-divisor silently ignores
+    // trailing slots the caller paid for
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes (got bands=$bands, numHashes=$numHashes)")
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = numHashes / bands
@@ -233,13 +258,19 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac_r"))
       .orderBy("doc_a", "doc_b")
-    out
+    materializeAndFree(hashed)(out)
   }
 
   /** SimHash per doc (64-bit, hex) — near-dup docs have small hamming
-    * distance; downstream bucketing joins on bit-chunks.
+    * distance; downstream bucketing joins on bit-chunks. The sorted
+    * public form; [[simhashPairs]] consumes the UNSORTED signatures
+    * (its candidate shuffle would destroy a corpus-wide sort anyway).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashSigs(docs, idCol, textCol).orderBy("doc_id")
+
+  private def simhashSigs(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("doc_id"),
@@ -250,7 +281,6 @@ object Dedup {
         (id, f"$h%016x")
       }
       .toDF("doc_id", "simhash")
-      .orderBy("doc_id")
   }
 
   /** SimHash near-dup PAIRS: the hamming-bucket consumer of
@@ -270,7 +300,7 @@ object Dedup {
       s"4 chunks of 16 bits guarantee recall only for hamming <= 3, got $maxHamming")
     val spark = docs.sparkSession
     import spark.implicits._
-    val sig = simhash(docs, idCol, textCol)
+    val sig = simhashSigs(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val s = math.max(1, saltCells)
     val cand = sig.as[(Long, String)].flatMap { case (id, h) =>
@@ -308,6 +338,7 @@ object Dedup {
       }.toDF("doc_a", "doc_b", "hamm")
       .filter(col("hamm") <= maxHamming)
       .orderBy("doc_a", "doc_b")
+      .transform(materializeAndFree(sig))
   }
 
   /** Exact all-pairs embedding cosine ≥ threshold as a triangular

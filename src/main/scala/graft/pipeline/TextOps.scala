@@ -90,23 +90,11 @@ object TextOps {
   /** Document fingerprint = md5 hex (matches DuckDB md5). */
   def fingerprint(text: Column): Column = md5(text)
 
-  /** Word 3-gram shingles (distinct), for Jaccard/minhash dedup.
-    * Column form kept for ad-hoc SQL use; the dedup operators use
-    * [[shinglesScala]] — the higher-order `transform` lambda blocks
-    * whole-stage codegen AND re-evaluates the tokenizer inside the
-    * lambda body per element (measured ~3 ms/doc vs ~3 µs typed).
-    */
-  def shingles(text: Column): Column = {
-    val t = toks(text)
-    array_distinct(
-      transform(sequence(lit(0), size(t) - 3),
-        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
-          element_at(t, i + 3))))
-  }
-
-  /** Typed twin of [[shingles]]: identical strings, first-occurrence
-    * distinct order (order is immaterial downstream — mins, explodes,
-    * and set intersections only).
+  /** Word 3-gram shingles (distinct), first-occurrence order (order
+    * is immaterial downstream — mins, explodes, and set intersections
+    * only). Typed, not a Column: the higher-order `transform` lambda
+    * formulation blocks whole-stage codegen AND re-evaluates the
+    * tokenizer per element (measured ~3 ms/doc vs ~3 µs typed).
     */
   def shinglesScala(text: String): Seq[String] = {
     val t = Tokenize.tokens(text)
@@ -162,26 +150,18 @@ object TextOps {
     }
   }
 
-  /** MinHash signature: element j = min over shingles of
-    * md5(j || '|' || shingle) — string min of hex digests, identically
-    * computable in DuckDB (no shared 64-bit hash exists across the
-    * engines, but md5 does).
-    */
-  def minhash(shingleArr: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { j =>
-      array_min(transform(shingleArr, s =>
-        md5(concat(lit(j.toString), lit("|"), s))))
-    }: _*)
-
   /** 64-bit simhash over tokens: per-token md5-derived bits, weighted
-    * bit-majority. Pure Scala (not SQL-oracle-able; covered by unit
-    * tests instead).
+    * bit-majority (mirrored in the DuckDB oracle bit by bit).
     */
   def simhash64(tokens: Seq[String]): Long = {
     val acc = new Array[Int](64)
+    // one digest instance per CALL, reset per token — getInstance
+    // inside the loop costs a provider lookup + allocation per token
+    // (tens of millions at sf0.1)
+    val md = java.security.MessageDigest.getInstance("MD5")
     tokens.foreach { t =>
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(t.getBytes("UTF-8"))
+      md.reset()
+      val d = md.digest(t.getBytes("UTF-8"))
       var h = 0L
       var i = 0
       while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
