@@ -89,11 +89,15 @@ object EntryIndex {
     val idx = ensure(spark, dir)
     val src = spark.read.parquet(s"$dir/documents.parquet")
       .select(concat(lit("doc://"), col("doc_id")).as("url"), col("text"))
-    // deterministic per (table, query) — a nanoTime dir per call would
-    // leak a full text export into /tmp on every verify/bench run
+    // deterministic per (process, table, query) — a nanoTime dir per
+    // call would leak a full text export into /tmp on every
+    // verify/bench run, and a purely (table, query)-keyed dir would
+    // race two concurrent processes exporting the same query (one
+    // deletes the chunks the other just committed)
+    val pid = ProcessHandle.current().pid()
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|$query".getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    val out = s"/tmp/graft_export/v1_$h"
+    val out = s"/tmp/graft_export/v1_${pid}_$h"
     IndexPaths.delete(spark, out)
     val chunks = 4
     Export.dumpQuery(spark, Seq(idx), query, src, out,

@@ -141,13 +141,17 @@ object Main {
           // content edits the watermark filter is blind to (and skips
           // re-crawls whose content didn't change); watermark filter
           // only as the legacy fallback
+          // cache the selection: buildDelta traverses it for the rank
+          // pass, payload join, and watermark agg — re-running the
+          // full-corpus anti-join per pass doubles delta ingest cost
           val fresh = graft.index.Incremental
             .changedPages(pages, probeDir)
             .getOrElse(graft.index.Incremental.newPages(pages, wm))
-          val nFresh = fresh.count()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val stats = graft.index.Incremental.buildDelta(fresh, baseDirs,
             deltaDir, IndexBuilder.Config(withPositions = true),
             allowRecrawl = true)
+          fresh.unpersist(false)
           // fingerprint the FULL source at delta time so the next
           // delta's probes compare against current state
           graft.index.Incremental.writeFingerprint(pages, deltaDir)
@@ -156,8 +160,10 @@ object Main {
           // avoid (a full re-crawl tombstones the whole base)
           val nTombs = graft.index.Incremental
             .tombstoneParquetCount(spark, deltaDir)
-          println(s"delta over watermark=$wm: $nFresh new docs → " +
-            s"${stats.numDocs} indexed, maxDocId=${stats.maxDocId}, " +
+          // stats.numDocs IS the fresh-row count (every selected row
+          // is indexed) — no separate count() job over the anti-join
+          println(s"delta over watermark=$wm: " +
+            s"${stats.numDocs} docs indexed, maxDocId=${stats.maxDocId}, " +
             s"$nTombs re-crawled urls tombstoned")
         }
 

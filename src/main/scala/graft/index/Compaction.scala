@@ -58,6 +58,14 @@ object Compaction {
       IndexPaths.delete(spark, s"$outDir/segments")
     }
 
+    // empty generations (a no-op delta) have no readable docs/segments
+    // parquet; they contribute nothing to the merge (their carried
+    // tombstones are still unioned in the tail, which reads only
+    // tombstone files)
+    val liveGens = gens.filter(d =>
+      IndexPaths.readStats(spark, d).numDocs > 0)
+    require(liveGens.nonEmpty, "nothing to compact: every input empty")
+
     val statsDone = resume && ckpt.isComplete("stats", 0)
     if (!statsDone) {
       // fresh front half invalidates any previously encoded segments
@@ -65,7 +73,7 @@ object Compaction {
 
       // 1. docs meta: per url, the row from the LATEST generation wins
       //    (re-crawl upsert); losers' docIds drop out of everything
-      val docsAll = gens.zipWithIndex.map { case (d, i) =>
+      val docsAll = liveGens.zipWithIndex.map { case (d, i) =>
         spark.read.parquet(s"$d/docs").withColumn("gen", lit(i))
       }.reduce(_ unionByName _)
       val ranked = docsAll.withColumn("rn",
@@ -79,7 +87,7 @@ object Compaction {
     val written = spark.read.parquet(s"$outDir/docs")
     // 2. postings: decoded once, shared by the terms agg and every
     //    segments group (persisted for the run's lifetime)
-    val decoded = decodedPostings(spark, gens, written)
+    val decoded = decodedPostings(spark, liveGens, written)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (!statsDone) {
       val agg0 = written.agg(count(lit(1)), sum($"dl".cast("long")),
@@ -105,6 +113,9 @@ object Compaction {
             .otherwise(lit(1)))
       val termsParts = math.max(1,
         Integer.highestOneBit(math.max(1, shufP / 4)))
+      // term count observed during the write — a re-read for count()
+      // is a full extra pass over the dictionary
+      val obsTerms = new org.apache.spark.sql.Observation()
       termDf
         .withColumn("termHash", xxhash64($"term"))
         .select($"term", $"termHash", $"df", $"cf", $"saltCount",
@@ -112,8 +123,9 @@ object Compaction {
         .repartition(termsParts,
           IndexBuilder.rangePid(col("termHash"), termsParts))
         .sortWithinPartitions("termHash")
+        .observe(obsTerms, count(lit(1)).as("n"))
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
-      val numTerms = spark.read.parquet(s"$outDir/terms").count()
+      val numTerms = obsTerms.get("n").asInstanceOf[Long]
       // positional tier survives the merge for docs that had one:
       // any positional input gen → the output can phrase-match (docs
       // from non-positional gens just can't — documented partial
@@ -137,11 +149,9 @@ object Compaction {
     //    time (mirrors IndexBuilder's segments stage)
     val stats = IndexPaths.readStats(spark, outDir)
     val termsRead = spark.read.parquet(s"$outDir/terms")
-    val shift = 64 - java.lang.Integer.numberOfTrailingZeros(cfg.numBuckets)
-    val bucketCol =
-      if (cfg.numBuckets == 1) lit(0)
-      else shiftrightunsigned(
-        col("termHash").bitwiseXOR(lit(Long.MinValue)), shift).cast("int")
+    // the ONE bucket expression (IndexBuilder.rangePid): build and
+    // compaction must agree on the layout or pruning breaks
+    val bucketCol = IndexBuilder.rangePid(col("termHash"), cfg.numBuckets)
     val staged = decoded
       .join(broadcast(termsRead.filter($"saltCount" > 1)
         .select($"term", $"saltCount")), Seq("term"), "left")
@@ -183,35 +193,54 @@ object Compaction {
     gens.flatMap(d => Incremental.readWatermark(spark, d))
       .sortBy(_.getTime).lastOption
       .foreach(ts => Incremental.writeWatermark(spark, outDir, ts))
-    // Tombstones referring to docIds INSIDE the compacted generations
-    // are consumed (the url dedup above physically dropped those docs)
-    // — but a subset compaction (e.g. delta1+delta2 without the base)
-    // must CARRY tombstones that point at excluded generations, or the
-    // replaced base docs would resurrect in searchMulti(base, out).
-    val genRanges = gens.map { d =>
-      val st = IndexPaths.readStats(spark, d)
-      (st.minDocId, st.maxDocId)
+    // Carry the change-detection sidecars from the most recently
+    // STAMPED input generation: a compaction that retires its inputs
+    // would otherwise lose fingerprint.json/urlhashes, silently
+    // demoting the next delta to the watermark-only filter (which
+    // drops same-timestamp edits — the class the urlhashes sidecar
+    // exists to catch) and making the probe ladder return Unknown.
+    val stamped = gens.flatMap(d =>
+      if (IndexPaths.exists(spark, s"$d/fingerprint.json")) Some(d)
+      else None)
+    if (stamped.nonEmpty) {
+      val src = Incremental.probeTarget(spark, stamped)
+      IndexPaths.writeString(spark, s"$outDir/fingerprint.json",
+        IndexPaths.readString(spark, s"$src/fingerprint.json"))
+      if (IndexPaths.exists(spark, s"$src/urlhashes"))
+        spark.read.parquet(s"$src/urlhashes")
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/urlhashes")
     }
     // Unconditionally clear stale tombstone outputs first: recompacting
     // into a reused outDir whose previous run carried tombstones would
     // otherwise leave the old files masking live docIds.
     IndexPaths.delete(spark, s"$outDir/tombstones")
     IndexPaths.delete(spark, Tombstones.dirOf(outDir))
-    // Distributed carry (never a driver collect — a full re-crawl's
-    // tombstone set is O(corpus)): union the generations' tombstone
-    // parquets, drop ids the url dedup consumed (those inside the
-    // compacted generations' ranges), keep the rest.
+    // Tombstones whose target docId was PRESENT in an input generation
+    // are consumed (the url dedup physically dropped the replaced
+    // version) — but a subset compaction (e.g. delta1+delta2 without
+    // the base) must CARRY tombstones pointing at excluded
+    // generations, or the replaced base docs resurrect in
+    // searchMulti(base, out). Membership is decided by an anti-join
+    // against the input generations' ACTUAL docIds, never by the
+    // [minDocId, maxDocId] span: a carried-tombstone output has a
+    // HOLE in its span (winners keep original ids), and a span test
+    // on a later compaction would wrongly consume tombstones aimed
+    // into that hole. Distributed end to end — a full re-crawl's
+    // tombstone set is O(corpus), never a driver collect.
     val tombGens = gens.filter(d =>
       IndexPaths.exists(spark, s"$d/tombstones"))
     if (tombGens.nonEmpty) {
-      val inRange = genRanges.map { case (lo, hi) =>
-        $"docId" >= lo && $"docId" <= hi
-      }.reduce(_ || _)
+      val inputIds = liveGens.map(d =>
+        spark.read.parquet(s"$d/docs").select($"docId")).reduce(_ union _)
+      val obs = new org.apache.spark.sql.Observation()
       tombGens.map(d => spark.read.parquet(s"$d/tombstones")
           .select($"docId"))
-        .reduce(_ union _).distinct().filter(!inRange)
+        .reduce(_ union _).distinct()
+        .join(inputIds, Seq("docId"), "left_anti")
+        .observe(obs, count(lit(1)).as("n"))
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/tombstones")
-      if (spark.read.parquet(s"$outDir/tombstones").count() == 0L)
+      // count observed during the write — no re-read job
+      if (obs.get("n").asInstanceOf[Long] == 0L)
         IndexPaths.delete(spark, s"$outDir/tombstones")
       else
         Tombstones.write(spark.read.parquet(s"$outDir/tombstones")

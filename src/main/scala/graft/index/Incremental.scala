@@ -57,13 +57,23 @@ object Incremental {
     */
   def readWatermark(spark: SparkSession, indexDir: String): Option[Timestamp] =
     if (!IndexPaths.exists(spark, s"$indexDir/watermark.json")) None
-    else Some(Timestamp.valueOf(IndexPaths.parseFlatJson(
-      IndexPaths.readString(spark, s"$indexDir/watermark.json"))("maxWarcTs")))
+    else {
+      val m = IndexPaths.parseFlatJson(
+        IndexPaths.readString(spark, s"$indexDir/watermark.json"))
+      // epoch millis are the authoritative value: Timestamp.toString /
+      // valueOf render and parse in the JVM DEFAULT time zone, so the
+      // string form silently shifts across a DST gap or between
+      // drivers with different zones — a shifted watermark drops
+      // pages. The string is kept for humans; legacy sidecars without
+      // the millis field fall back to it.
+      m.get("maxWarcTsMs").map(ms => new Timestamp(ms.toLong))
+        .orElse(m.get("maxWarcTs").map(Timestamp.valueOf))
+    }
 
   def writeWatermark(spark: SparkSession, indexDir: String,
                      ts: Timestamp): Unit =
     IndexPaths.writeString(spark, s"$indexDir/watermark.json",
-      s"""{"maxWarcTs":"$ts"}""")
+      s"""{"maxWarcTsMs":${ts.getTime},"maxWarcTs":"$ts"}""")
 
   /** The generation to probe/diff against: the one whose fingerprint
     * was stamped most recently (file mtime; list-order breaks ties, so
@@ -217,7 +227,7 @@ object Incremental {
       useExtractor = useExtractor, offset = baseMax + 1)
     val stats = IndexBuilder.build(docs, deltaDir, cfg, buildId,
       lineage = s"delta-over(${baseDirs.mkString(",")})")
-    if (allowRecrawl) {
+    if (allowRecrawl && stats.numDocs > 0) {
       // tombstone the base versions of re-crawled urls: the delta's
       // url set joins each base's docs meta (pruned to two columns).
       // PLAIN shuffle join, no broadcast hint: a full re-crawl's url

@@ -138,7 +138,15 @@ object IndexBuilder {
     val lineageEff = lineage +
       s";b=${cfg.numBuckets};g=${cfg.numGroups};bs=${cfg.blockSize}" +
       s";st=${cfg.saltTarget};pos=${cfg.withPositions}"
-    if (resume && ckpt.invalidateUnlessLineage(lineageEff)) {
+    if (!resume) {
+      // a non-resume build into a reused dir must not leave artifacts
+      // of the previous layout behind: a shrunk numBuckets would
+      // rewrite only the new bucket range, and whole-dir readers
+      // (compaction's segments scan) would merge the stale buckets in
+      IndexPaths.delete(spark, s"$outDir/_checkpoints")
+      IndexPaths.delete(spark, s"$outDir/segments")
+      IndexPaths.delete(spark, s"$outDir/postings_staged")
+    } else if (ckpt.invalidateUnlessLineage(lineageEff)) {
       IndexPaths.delete(spark, s"$outDir/segments")
       IndexPaths.delete(spark, s"$outDir/postings_staged")
     }
@@ -305,11 +313,9 @@ object IndexBuilder {
       // the 16M-posting path.
       val salted = termDf.filter($"saltCount" > 1)
         .select($"term", $"saltCount")
-      val shift = 64 - java.lang.Integer.numberOfTrailingZeros(cfg.numBuckets)
-      val bucketCol =
-        if (cfg.numBuckets == 1) lit(0)
-        else shiftrightunsigned(
-          col("termHash").bitwiseXOR(lit(Long.MinValue)), shift).cast("int")
+      // the ONE bucket expression — compaction uses the same call, so
+      // the layouts can never drift
+      val bucketCol = rangePid(col("termHash"), cfg.numBuckets)
       val staged = tf
         .join(broadcast(salted), Seq("term"), "left")
         .withColumn("skey",
@@ -384,12 +390,19 @@ object IndexBuilder {
         System.currentTimeMillis()))
       if (cfg.numGroups == 1) {
         // fused path: postings and the single segments group are one
-        // durable unit — both commit here, the group loop below skips
-        ckpt.commit(Checkpoint(buildId, "postings", 0, "COMPLETE",
+        // durable unit — both commit here, the group loop below skips.
+        // ORDER MATTERS: segments first. A crash between the two
+        // commits then leaves postings incomplete → resume re-runs the
+        // whole front half (overwriting segments and recommitting
+        // both). The reverse order wedged permanently: postings
+        // complete skipped the front half, the group loop saw segments
+        // missing, deleted the good fused output, and crashed reading
+        // the postings_staged the fused path never writes.
+        ckpt.commit(Checkpoint(buildId, "segments", 0, "COMPLETE",
           obsStaged.get("n").asInstanceOf[Long],
           IndexPaths.dirBytes(spark, s"$outDir/segments"), lineageEff,
           t0, System.currentTimeMillis()))
-        ckpt.commit(Checkpoint(buildId, "segments", 0, "COMPLETE",
+        ckpt.commit(Checkpoint(buildId, "postings", 0, "COMPLETE",
           obsStaged.get("n").asInstanceOf[Long],
           IndexPaths.dirBytes(spark, s"$outDir/segments"), lineageEff,
           t0, System.currentTimeMillis()))
@@ -414,7 +427,12 @@ object IndexBuilder {
         (lo until hi).foreach { b =>
           IndexPaths.delete(spark, s"$outDir/segments/bucket=$b")
         }
-        val staged = spark.read.parquet(s"$outDir/postings_staged")
+        // explicit schema: an empty delta's partitioned write leaves
+        // only _SUCCESS (no part files), which schema inference
+        // rejects — an empty generation is valid, not an error
+        val staged = spark.read
+          .schema(org.apache.spark.sql.Encoders.product[StagedPosting].schema)
+          .parquet(s"$outDir/postings_staged")
           .filter($"bucket" >= lo && $"bucket" < hi)
           .as[StagedPosting]
         val blocks = encodeSegments(staged, statsNow, cfg)

@@ -160,7 +160,17 @@ object Searcher {
     // window) — TopK(0) would crash in the gather tasks
     if (k <= 0) return spark.emptyDataset[SearchHit]
     val depth = k + math.max(0, offset) // the cut every bound targets
-    val statsList = indexDirs.map(d => IndexPaths.readStats(spark, d))
+    // Empty generations (zero docs — e.g. a delta where change was
+    // detected but the hash diff selected nothing) have no readable
+    // terms/segments parquet; drop them from every scan. Their
+    // TOMBSTONES still count (an empty generation can carry them), so
+    // the mask below is built over the FULL dir list.
+    val liveGens = indexDirs.map(d => d -> IndexPaths.readStats(spark, d))
+      .filter(_._2.numDocs > 0)
+    val tombMaskAll = graft.index.Tombstones.maskFor(spark, indexDirs)
+    if (liveGens.isEmpty) return spark.emptyDataset[SearchHit]
+    val liveDirs = liveGens.map(_._1)
+    val statsList = liveGens.map(_._2)
     // Re-crawl tombstones: replaced base docIds are masked out of
     // every evaluator (the dead version never surfaces). Until
     // compaction, global stats still count the dead docs, so the free
@@ -168,13 +178,13 @@ object Searcher {
     // disabled — correctness over speed in the transient window.
     // Small sets broadcast; above the threshold the mask reads the
     // strided sidecar per docId window (never an O(corpus) driver Set).
-    val tombMask = graft.index.Tombstones.maskFor(spark, indexDirs)
+    val tombMask = tombMaskAll
     val bcTomb = spark.sparkContext.broadcast(tombMask)
     val noTomb = tombMask.isEmpty
     // norms-sidecar routing: generation dirs + docId ranges + the
     // Hadoop conf (tasks open stride files lazily, 4 MB each)
     val bcGens = spark.sparkContext.broadcast(
-      indexDirs.zip(statsList).map { case (d, st) =>
+      liveDirs.zip(statsList).map { case (d, st) =>
         graft.index.Norms.GenMeta(d, st.minDocId, st.maxDocId)
       }.toArray)
     val bcConf = spark.sparkContext.broadcast(
@@ -206,7 +216,7 @@ object Searcher {
     // per index generation: term -> meta (salt layout is per-index),
     // via the shared cached pruned lookup
     val metaPerIndex: Seq[Map[String, TermMeta]] =
-      lookupMetas(spark, indexDirs, allTerms)
+      lookupMetas(spark, liveDirs, allTerms)
     val metaByTerm: Map[String, TermMeta] = allTerms.flatMap { term =>
       val metas = metaPerIndex.flatMap(_.get(term))
       if (metas.isEmpty) None
@@ -289,7 +299,7 @@ object Searcher {
           }
           .groupBy(_._1).map { case (kk, v) => kk -> v.map(_._2).distinct }
         val bcProbe = spark.sparkContext.broadcast(probeUses)
-        val pBlocks = indexDirs.zip(statsList).map { case (d, st) =>
+        val pBlocks = liveDirs.zip(statsList).map { case (d, st) =>
           val hs = probeUses.keys.map(IndexBuilder.xxhash).toSeq
           val bks = hs.map(h => IndexBuilder.bucketOf(h, st.numBuckets))
             .distinct
@@ -363,8 +373,8 @@ object Searcher {
 
     // 3. scan touched segments of every generation (partition pruning
     //    on bucket + row-group pruning on termHash), union, scatter
-    val blocks = indexDirs.zip(statsList).map { case (d, st) =>
-      val idxMetas = metaPerIndex(indexDirs.indexOf(d))
+    val blocks = liveDirs.zip(statsList).map { case (d, st) =>
+      val idxMetas = metaPerIndex(liveDirs.indexOf(d))
       val idxKeys = plans.flatMap(_.terms.map(_.term)).distinct
         .flatMap(term => idxMetas.get(term).toSeq
           .flatMap(tm => storageKeys(term, tm)))
@@ -491,7 +501,13 @@ object Searcher {
     import spark.implicits._
     if (slots.isEmpty) return spark.emptyDataset[Long]
     val distinctTerms = slots.distinct
-    val statsList = indexDirs.map(d => IndexPaths.readStats(spark, d))
+    // empty generations have no readable terms/segments (their
+    // tombstones still mask — maskFor below runs over the full list)
+    val liveGens = indexDirs.map(d => d -> IndexPaths.readStats(spark, d))
+      .filter(_._2.numDocs > 0)
+    if (liveGens.isEmpty) return spark.emptyDataset[Long]
+    val liveDirs = liveGens.map(_._1)
+    val statsList = liveGens.map(_._2)
     // Fail fast on an index with NO positional tier anywhere: every
     // candidate would fail the position verify and the caller would
     // get an empty result indistinguishable from "phrase not
@@ -510,7 +526,7 @@ object Searcher {
     // pruned dictionary lookups per generation (cache shared with
     // the BM25 path)
     val metaPerIndex: Seq[Map[String, TermMeta]] =
-      lookupMetas(spark, indexDirs, distinctTerms)
+      lookupMetas(spark, liveDirs, distinctTerms)
     // every phrase term must exist in at least one generation
     if (distinctTerms.exists(t => metaPerIndex.forall(!_.contains(t))))
       return spark.emptyDataset[Long]
@@ -527,8 +543,8 @@ object Searcher {
     }.toMap
     val bcUses = spark.sparkContext.broadcast(keyUses)
     val ranges = math.max(1, numRanges)
-    val blocks = indexDirs.zip(statsList).map { case (d, st) =>
-      val hs = metaPerIndex(indexDirs.indexOf(d)).toSeq.flatMap {
+    val blocks = liveDirs.zip(statsList).map { case (d, st) =>
+      val hs = metaPerIndex(liveDirs.indexOf(d)).toSeq.flatMap {
         case (term, tm) =>
           storageKeys(term, tm).map(IndexBuilder.xxhash)
       }
@@ -619,11 +635,13 @@ object Searcher {
     import spark.implicits._
     val h = hits.collect()
     val ids = h.map(_.docId).distinct.toSeq
-    val docs = indexDirs.flatMap { d =>
-      spark.read.parquet(s"$d/docs")
-        .filter($"docId".isin(ids: _*))
-        .select($"docId", $"url").as[(Long, String)].collect()
-    }.toMap
+    val docs = indexDirs
+      .filter(d => IndexPaths.readStats(spark, d).numDocs > 0)
+      .flatMap { d =>
+        spark.read.parquet(s"$d/docs")
+          .filter($"docId".isin(ids: _*))
+          .select($"docId", $"url").as[(Long, String)].collect()
+      }.toMap
     spark.createDataset(h.toSeq.map(x =>
       (x.queryId, x.rank, x.docId, x.score, docs.getOrElse(x.docId, ""))))
   }

@@ -172,6 +172,59 @@ class IncrementalSpec extends AnyFunSuite {
       10, Searcher.Or, numRanges = 4).collect()
     assert(subHits.forall(h => !tombs.contains(h.docId)),
       "tombstoned doc resurrected after subset compaction")
+
+    // THE SPAN-HOLE CASE: delta2 re-crawls the same urls AGAIN, so its
+    // tombstones point at both base ids (an input of the compaction →
+    // consumed by the dedup) and delta1 ids (EXCLUDED → must carry).
+    // The carried output's [minDocId, maxDocId] span then COVERS
+    // delta1's range as a hole — a span-based consume test on the
+    // next compaction would wrongly eat the carried ids; membership
+    // must be decided against the inputs' ACTUAL docIds.
+    val recrawled2 = recrawled.map(p => p.copy(text = p.text + " v3",
+      warc_ts = new java.sql.Timestamp(p.warc_ts.getTime + 7200000L)))
+    val delta2Dir = SparkTestSession.tmpDir("graft_rc_d2")
+    Incremental.buildDelta(spark.createDataset(recrawled2),
+      Seq(baseDir, deltaDir), delta2Dir, cfg,
+      useExtractor = false, allowRecrawl = true)
+    val delta1Ids = spark.read.parquet(s"$deltaDir/docs")
+      .filter($"url".isin(recrawled.map(_.url): _*))
+      .select($"docId").as[Long].collect().toSet
+    assert(delta1Ids.size == 25)
+    val hole1 = SparkTestSession.tmpDir("graft_rc_hole1")
+    Compaction.compact(spark, Seq(baseDir, delta2Dir), hole1, cfg)
+    val carried1 = Incremental.readTombstones(spark, hole1).toSet
+    assert(delta1Ids.subsetOf(carried1),
+      "first-level carry lost excluded-generation ids")
+    val hole2 = SparkTestSession.tmpDir("graft_rc_hole2")
+    Compaction.compact(spark, Seq(hole1), hole2, cfg)
+    assert(delta1Ids.subsetOf(
+      Incremental.readTombstones(spark, hole2).toSet),
+      "span-hole recompaction dropped carried tombstones")
+  }
+
+  test("zero-fresh-row delta builds an empty generation, not a crash") {
+    import spark.implicits._
+    // a source where change was detected but the hash diff selects
+    // nothing (e.g. only deletions): the multi-group segments stage
+    // re-reads a staged dir whose empty partitioned write has no part
+    // files — schema inference would reject it
+    val baseDir = SparkTestSession.tmpDir("graft_empty_base")
+    val emptyDir = SparkTestSession.tmpDir("graft_empty_delta")
+    IndexBuilder.build(
+      DocIds.fromPages(PagesGen.pages(spark, 120L), 4), baseDir, cfg, "b")
+    val none = spark.emptyDataset[graft.data.PageRow]
+    val stats = Incremental.buildDelta(none, Seq(baseDir), emptyDir, cfg,
+      useExtractor = false)
+    assert(stats.numDocs == 0)
+    // the union serve path tolerates the empty generation
+    val hits = Searcher.searchMulti(spark, Seq(baseDir, emptyDir),
+      QuerySet.queries().take(5), 10, Searcher.Or, numRanges = 3)
+      .collect()
+    val baseOnly = Searcher.search(spark, baseDir,
+      QuerySet.queries().take(5), 10, Searcher.Or, numRanges = 3)
+      .collect()
+    assert(hits.map(h => (h.queryId, h.rank, h.docId)).sorted.toSeq ==
+      baseOnly.map(h => (h.queryId, h.rank, h.docId)).sorted.toSeq)
   }
 
   test("strided tombstone mask: multi-stride membership + rank identity") {
