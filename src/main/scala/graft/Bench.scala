@@ -111,12 +111,16 @@ object Bench {
     catch { case _: Throwable => () }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val (_, secs) = time {
-        try fn(spark, sfDir).count()
+      // record -1 (excluded from the total by the filter below) when
+      // the query FAILS — recording its time-to-failure would silently
+      // count a broken query as a normal timing
+      val (ok, secs) = time {
+        try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false }
       }
-      results(name) = secs
+      results(name) = if (ok) secs else -1.0
     }
 
     // 2. index build throughput + query latency at the bench size.
@@ -200,8 +204,9 @@ object Bench {
       val benchStart = System.nanoTime()
       val budgetSecs =
         sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "600").toInt
-      // Each rep: control(N) → build(N) → build(4N) → control(4N), all
-      // adjacent — the host's OWN thread-scaling ratio swings 0.6-1.0
+      // Each rep: control(N) → build(N) → control(4N) → build(4N) —
+      // each control immediately precedes ITS build, all adjacent —
+      // the host's OWN thread-scaling ratio swings 0.6-1.0
       // between minute-windows (measured: the hashing control gave
       // 0.97 and 0.63 at the same pair an hour apart), so a rep's
       // machine ceiling is only meaningful measured NEXT TO that rep.

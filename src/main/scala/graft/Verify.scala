@@ -26,6 +26,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a plan-time failure never reaches the overwrite, so a
+        // reused outDir would still hold the PREVIOUS run's parquet
+        // and the driver would compare the stale rows as this run's —
+        // masking a regression as a pass. Make the failure visible.
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

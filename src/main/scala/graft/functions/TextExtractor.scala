@@ -35,12 +35,11 @@ object TextExtractor {
     val sb = new StringBuilder
     var i = 0
     var first = true
-    val lower = html.toLowerCase
     while (i < html.length) {
-      val open = lower.indexOf("<p>", i)
+      val open = indexOfIgnoreCaseAscii(html, "<p>", i)
       if (open < 0) { i = html.length }
       else {
-        val close = lower.indexOf("</p>", open + 3)
+        val close = indexOfIgnoreCaseAscii(html, "</p>", open + 3)
         val end = if (close < 0) html.length else close
         if (!first) sb.append(' ')
         appendStripped(sb, html, open + 3, end)
@@ -49,6 +48,34 @@ object TextExtractor {
       }
     }
     sb.toString
+  }
+
+  /** Case-insensitive search for an ASCII literal WITHOUT building a
+    * lowercased copy of the document: String.toLowerCase can CHANGE
+    * LENGTH (U+0130 'İ' lowercases to two chars), so offsets found in
+    * a lowered copy desynchronize from the original — indexing the
+    * original with them garbles the extraction (or overflows) on any
+    * page containing such characters, breaking the byte-identical
+    * invariant. Tags are ASCII, so ASCII folding is exact.
+    */
+  private def indexOfIgnoreCaseAscii(s: String, lit: String,
+                                     from: Int): Int = {
+    val n = s.length
+    val m = lit.length
+    var i = math.max(0, from)
+    while (i + m <= n) {
+      var j = 0
+      var ok = true
+      while (ok && j < m) {
+        val c = s.charAt(i + j)
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        if (lc != lit.charAt(j)) ok = false
+        j += 1
+      }
+      if (ok) return i
+      i += 1
+    }
+    -1
   }
 
   /** Append html[from, until) with tags removed and entities decoded. */

@@ -52,6 +52,15 @@ object Tombstones {
     val spark = ids.sparkSession
     import spark.implicits._
     val dir = dirOf(indexDir)
+    // retract the commit marker FIRST (the Norms.write rule): a
+    // rewrite into a reused dir that crashes mid-stride must leave NO
+    // valid manifest — the old one would commit a mask mixing new and
+    // stale stride files
+    val mp = s"$dir/manifest.json"
+    if (IndexPaths.exists(spark, mp)) {
+      val f = IndexPaths.fs(spark, mp)
+      f.delete(new Path(mp), false)
+    }
     val conf = new Norms.SerConf(spark.sparkContext.hadoopConfiguration)
     val bc = spark.sparkContext.broadcast(conf)
     val strides = ids.groupByKey(Norms.strideOf)
@@ -231,6 +240,20 @@ object Tombstones {
       val strided = manifests.collect {
         case (d, Some((n, ss))) if n > 0 => (d, ss)
       }.toArray
+      // a manifest-less generation rides along as a broadcast Set ONLY
+      // if its own count is under the threshold — collecting a large
+      // set here (e.g. a full-re-crawl delta that died before its
+      // sidecar committed) would silently recreate the O(corpus)
+      // driver Set this whole mechanism exists to prevent
+      manifests.foreach {
+        case (d, None) =>
+          val c = Incremental.tombstoneParquetCount(spark, d)
+          require(c <= thr,
+            s"$d has $c tombstones but no committed strided sidecar " +
+              s"(> broadcast threshold $thr) — rerun Tombstones.write " +
+              "for it before serving")
+        case _ => ()
+      }
       val legacySmall = manifests.collect {
         case (d, None) => d
       }.flatMap(d => Incremental.readTombstones(spark, d)).toSet

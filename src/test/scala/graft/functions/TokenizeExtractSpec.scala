@@ -29,6 +29,17 @@ class TokenizeExtractSpec extends AnyFunSuite {
     assert(TextExtractor.extractString(html) == "a & b c bold d")
   }
 
+  test("extractor: length-expanding case mappings don't desync offsets") {
+    // U+0130 'İ' lowercases to TWO chars — offsets found in a
+    // toLowerCase copy would point past (or into the middle of) the
+    // original's content; the ASCII-folding search must be immune
+    val html = "İİİİ<p>hello İ world</p>İİ<P>two</P>"
+    assert(TextExtractor.extractString(html) == "hello İ world two")
+    // a page that is mostly expanding chars must not overflow
+    val dense = "<p>" + ("İ" * 50) + "</p>"
+    assert(TextExtractor.extractString(dense) == "İ" * 50)
+  }
+
   test("generator is deterministic and unique-url") {
     val a = PagesGen.row(42L, 7L)
     val b = PagesGen.row(42L, 7L)
