@@ -259,12 +259,18 @@ class IncrementalSpec extends AnyFunSuite {
       .parquet(s"$dir/tombstones")
     Tombstones.write(tombIds.toDS(), dir)
     val qs = QuerySet.queries().take(12)
-    def run(): Seq[(Long, Int, Long, Double)] =
-      Searcher.searchMulti(spark, Seq(dir), qs, 10, Searcher.Or,
-        numRanges = 4).collect()
+    def run(mode: Searcher.Mode = Searcher.Or,
+            off: Int = 0): Seq[(Long, Int, Long, Double)] =
+      Searcher.searchMulti(spark, Seq(dir), qs, 10, mode,
+        numRanges = 4, offset = off).collect()
         .map(h => (h.queryId, h.rank, h.docId, h.score))
         .sortBy(x => (x._1, x._2)).toSeq
     val viaSet = run()
+    // interaction coverage: AND-mode pruning and offset-deepened heap
+    // bounds both interact with masking — pin them across both mask
+    // representations, not just the default Or/page-1 shape
+    val viaSetAnd = run(Searcher.And)
+    val viaSetPage2 = run(off = 10)
     assert(Tombstones.maskFor(spark, Seq(dir))
       .isInstanceOf[Tombstones.SetMask])
     spark.conf.set("graft.tombstones.broadcastThreshold", "0")
@@ -275,6 +281,11 @@ class IncrementalSpec extends AnyFunSuite {
       assert(viaStride == viaSet, "strided mask diverged from Set mask")
       assert(viaStride.nonEmpty)
       assert(viaStride.forall(h => h._3 % 3 != 0), "masked doc surfaced")
+      assert(run(Searcher.And) == viaSetAnd,
+        "AND mode diverged under the strided mask")
+      assert(run(off = 10) == viaSetPage2,
+        "offset page diverged under the strided mask")
+      assert(viaSetPage2.forall(h => h._3 % 3 != 0))
       // phrase path through the strided mask too
       val sample = (0L until 400L).map(i => PagesGen.row(42L, i))
         .collectFirst {
