@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Tokenize
-import graft.pipeline.{Dedup, Similarity, TextOps}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
 import graft.query.Searcher
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -366,6 +366,17 @@ object SparkEntry {
         .select(col("fixture_id"),
           functions.GraftFunctions.extract_text(col("html")).as("text"))
         .orderBy("fixture_id")
+    }),
+    "mm_frames" -> ((s, d) => {
+      import s.implicits._
+      // frame sampling over opaque video binaries: stubbed decode
+      // (GVID container), real plumbing — typed mapPartitions, one
+      // output row per sampled frame, uniform stride bounds rows at
+      // maxFrames per input (Multimodal.frameSample)
+      Multimodal.frameSample(
+        data.MultimodalFixtures.videos.toDF("fixture_id", "payload"),
+        "fixture_id", "payload", maxFrames = 4)
+        .orderBy("fixture_id", "frame_idx")
     })
   )
 
@@ -533,6 +544,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> OracleSql.simhashPairs(3),
     "mm_extract" -> data.ExtractFixtures.oracleSql,
     "mm_sniff" -> data.ExtractFixtures.sniffOracleSql,
+    "mm_frames" -> data.MultimodalFixtures.framesOracleSql,
     "sim_ivf_ann" -> OracleSql.ivfTopK(2L, 20, 16, 4),
     "ft_token_count" -> ("SELECT doc_id, " +
       "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), " +
