@@ -377,6 +377,15 @@ object SparkEntry {
         data.MultimodalFixtures.videos.toDF("fixture_id", "payload"),
         "fixture_id", "payload", maxFrames = 4)
         .orderBy("fixture_id", "frame_idx")
+    }),
+    "mm_resize" -> ((s, d) => {
+      import s.implicits._
+      // aspect-preserving resize planning from container headers: the
+      // thumbnailer math with the pixel transform in the stub slot
+      Multimodal.resizeDims(
+        data.MultimodalFixtures.videos.toDF("fixture_id", "payload"),
+        "fixture_id", "payload", maxSide = 8)
+        .orderBy("fixture_id")
     })
   )
 
@@ -545,6 +554,7 @@ object SparkEntry {
     "mm_extract" -> data.ExtractFixtures.oracleSql,
     "mm_sniff" -> data.ExtractFixtures.sniffOracleSql,
     "mm_frames" -> data.MultimodalFixtures.framesOracleSql,
+    "mm_resize" -> data.MultimodalFixtures.resizeOracleSql,
     "sim_ivf_ann" -> OracleSql.ivfTopK(2L, 20, 16, 4),
     "ft_token_count" -> ("SELECT doc_id, " +
       "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), " +

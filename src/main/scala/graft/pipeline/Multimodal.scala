@@ -54,6 +54,47 @@ object Multimodal {
     new String(cs)
   }
 
+  /** Resize planning over the same container headers: the
+    * aspect-ratio-preserving target dimensions a downsampling pass
+    * would decode into. Real semantics (the math every thumbnailer
+    * runs), stubbed decode: only the header is read — the pixel
+    * transform itself would sit in the codec slot. scale = maxSide /
+    * max(w, h) when the longer side exceeds maxSide, else 1; output
+    * dims are round-half-up with a floor of 1. Rows with a bad
+    * magic/short header/null payload yield nothing (zero declared
+    * frames still have valid dimensions and DO yield a row).
+    */
+  def resizeDims(df: DataFrame, idCol: String, binCol: String,
+                 maxSide: Int): DataFrame = {
+    require(maxSide >= 1, s"maxSide must be >= 1, got $maxSide")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          if (payload == null || payload.length < HeaderLen ||
+              !(0 until Magic.length).forall(i => payload(i) == Magic(i)))
+            Iterator.empty
+          else {
+            val w = u16(payload, 4)
+            val h = u16(payload, 6)
+            val longSide = math.max(w, h)
+            if (longSide <= 0) Iterator.empty
+            else {
+              val scale =
+                if (longSide <= maxSide) 1.0 else maxSide.toDouble / longSide
+              Iterator.single((id, w, h,
+                math.max(1L, math.round(w * scale)).toInt,
+                math.max(1L, math.round(h * scale)).toInt))
+            }
+          }
+        }
+      }
+      .toDF(idCol, "width", "height", "out_w", "out_h")
+  }
+
   /** Sampled frames of every row's payload:
     * (id, frame_idx, width, height, frame_sig) — at most `maxFrames`
     * rows per input, uniform stride over the COMPLETE frames present

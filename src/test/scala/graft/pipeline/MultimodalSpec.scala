@@ -29,6 +29,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sample(5) == want)
   }
 
+  test("resize planning == hand-computed dims; silent on malformed") {
+    import spark.implicits._
+    val got = Multimodal.resizeDims(
+      spark.createDataset(MultimodalFixtures.videos)
+        .toDF("fixture_id", "payload"),
+      "fixture_id", "payload", maxSide = 8)
+      .as[(Long, Int, Int, Int, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == MultimodalFixtures.expectedResize)
+    // downscale floor: a 1xN sliver never collapses to 0
+    val sliver = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GVID".getBytes("US-ASCII"))
+      out.write(Array[Byte](0, 1, 1, 0, 0, 0)) // w=1, h=256, 0 frames
+      out.toByteArray
+    }
+    val r = Multimodal.resizeDims(
+      Seq((0L, sliver)).toDF("fixture_id", "payload"),
+      "fixture_id", "payload", maxSide = 8)
+      .as[(Long, Int, Int, Int, Int)].collect().head
+    assert(r == ((0L, 1, 256, 1, 8)))
+  }
+
   test("row bound: a long video yields at most maxFrames rows") {
     import spark.implicits._
     // 1000 frames, frame i = 8 bytes of (i & 0xff)
