@@ -46,7 +46,14 @@ object MakeGoldens {
     (0L until 500L).foreach { i =>
       val p = PagesGen.row(PagesGen.DefaultSeed, i)
       md.reset()
-      val h = md.digest(TextExtractor.extract(p.html).getBytes("UTF-8"))
+      // hash the GENERATOR's ground-truth text, NOT the extractor's
+      // output: a golden derived from the implementation under test
+      // would bake in any extractor bug present at regeneration time
+      // and detect only drift from the buggy snapshot. p.text is the
+      // spec value (extract(p.html) == p.text is separately asserted
+      // in TokenizeExtractSpec), so this golden stays
+      // implementation-independent.
+      val h = md.digest(p.text.getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString
       ext.append(s"${p.url}\t$h\n")
     }

@@ -97,8 +97,11 @@ class PlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     // struct-max argmax = map-side combinable partial agg; a window
     // formulation would shuffle and sort every (vector, centroid) row
-    assert(plan.contains("partial_max") || plan.contains("partial_"),
-      s"no map-side partial aggregation in IVF assignment:\n$plan")
+    // partial_max specifically — ANY stray partial_ aggregate
+    // elsewhere in the plan would satisfy a looser check and leave
+    // the map-side-combinable guard dead
+    assert(plan.contains("partial_max"),
+      s"no map-side partial max in IVF assignment:\n$plan")
     assert(!plan.contains("Window"),
       s"window crept into the IVF assignment:\n$plan")
     assert(plan.contains("BroadcastHashJoin") ||

@@ -43,24 +43,38 @@ class GraftFunctionsSpec extends AnyFunSuite {
     q.collect()
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("*("), s"no codegen span:\n$plan")
-    assert(!plan.contains("text") || !plan.contains("ReadSchema:" +
-      " struct<url:string,warc_ts"), s"scan not pruned:\n$plan")
+    // assert the ReadSchema DIRECTLY: the old disjunctive form only
+    // failed on a full-schema read, so a partial regression that still
+    // leaked `text` into the scan passed
+    assert(plan.contains("ReadSchema: struct<url:string,html:binary>"),
+      s"scan not pruned to exactly (url, html):\n$plan")
     assert(plan.contains("staticinvoke") || plan.contains("extractUtf8"),
       s"StaticInvoke not in plan:\n$plan")
   }
 
   test("SparkSessionExtensions injection registers the function") {
-    // simulate extension application on the live session's extensions
-    val ext = new GraftExtensions
-    // a fresh session with extensions is heavyweight; assert the
-    // function builder produces a working expression instead
-    val e = org.apache.spark.sql.catalyst.expressions.Literal.create(
-      "<html><body><p>x y</p></body></html>".getBytes("UTF-8"),
-      org.apache.spark.sql.types.BinaryType)
-    val fn = new org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
-      TextExtractor.getClass, org.apache.spark.sql.types.StringType,
-      "extractUtf8", Seq(e),
-      inputTypes = Seq(org.apache.spark.sql.types.BinaryType))
-    assert(fn.eval(null).toString == "x y")
+    // ACTUALLY apply GraftExtensions: clear the default/active session
+    // so the builder constructs a NEW SparkSession (same SparkContext)
+    // with the extensions installed, then resolve the function through
+    // SQL — the previous version built its own StaticInvoke and never
+    // exercised the registration path at all
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val extSession = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(extSession ne base, "builder returned the old session — " +
+        "extensions were not applied")
+      val r = extSession.sql(
+        "SELECT graft_extract_text(CAST('<p>x y</p>' AS BINARY)) AS t")
+        .head().getString(0)
+      assert(r == "x y")
+      // the base session must NOT have gained the function implicitly
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
   }
 }

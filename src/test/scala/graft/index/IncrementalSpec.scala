@@ -158,6 +158,13 @@ class IncrementalSpec extends AnyFunSuite {
       phTerms, numRanges = 4).collect()
     assert(phHits.forall(d => !tombs.contains(d)),
       "conjunctive match returned a tombstoned docId")
+    // NOT vacuous: the live replacement (the delta's doc for this
+    // url — its text contains these very terms) must survive the mask
+    val replacementId = spark.read.parquet(s"$deltaDir/docs")
+      .filter($"url" === recrawled.head.url)
+      .select($"docId").as[Long].head()
+    assert(phHits.contains(replacementId),
+      "the re-crawled replacement doc was masked out too")
 
     // SUBSET compaction (delta alone, base excluded) must CARRY the
     // tombstones pointing at the base — otherwise the replaced base
@@ -286,15 +293,21 @@ class IncrementalSpec extends AnyFunSuite {
       assert(run(off = 10) == viaSetPage2,
         "offset page diverged under the strided mask")
       assert(viaSetPage2.forall(h => h._3 % 3 != 0))
-      // phrase path through the strided mask too
-      val sample = (0L until 400L).map(i => PagesGen.row(42L, i))
-        .collectFirst {
-          case p if graft.functions.Tokenize.tokens(p.text).length >= 5 =>
-            graft.functions.Tokenize.tokens(p.text).slice(1, 4)
-              .mkString(" ")
-        }.get
-      val ph = Searcher.phraseSearch(spark, Seq(dir), sample,
+      // phrase path through the strided mask too — sampled from a doc
+      // whose RANK is not tombstoned, so the assertion has a known
+      // surviving hit and cannot pass vacuously on an empty result
+      val byRank = (0L until 400L).map(i => PagesGen.row(42L, i))
+        .map(p => (p.url, p.text)).sortBy(_._1).zipWithIndex
+      val (phrase, liveRank) = byRank.collectFirst {
+        case ((_, t), r)
+            if r % 3 != 0 &&
+              graft.functions.Tokenize.tokens(t).length >= 5 =>
+          (graft.functions.Tokenize.tokens(t).slice(1, 4).mkString(" "),
+            r.toLong)
+      }.get
+      val ph = Searcher.phraseSearch(spark, Seq(dir), phrase,
         numRanges = 3)
+      assert(ph.contains(liveRank), "live phrase hit lost under the mask")
       assert(ph.forall(_ % 3 != 0), "phrase surfaced a masked doc")
     } finally
       spark.conf.unset("graft.tombstones.broadcastThreshold")

@@ -195,8 +195,13 @@ class IndexSearchSpec extends AnyFunSuite {
   test("url back-join resolves every hit") {
     val hits = Searcher.search(spark, indexDir,
       QuerySet.queries().take(5), 10, Searcher.Or, 4)
+    val nHits = hits.count()
     val withU = Searcher.withUrls(spark, indexDir, hits).collect()
-    assert(withU.nonEmpty && withU.forall(_._5.startsWith("https://")))
+    // cardinality makes "every hit" load-bearing: a join that silently
+    // dropped unresolved docIds would still be nonEmpty with
+    // valid-looking urls
+    assert(withU.length.toLong == nHits && nHits > 0)
+    assert(withU.forall(_._5.startsWith("https://")))
   }
 
   test("checkpoints record lineage and metrics") {
