@@ -355,5 +355,47 @@ object Bench {
     java.nio.file.Files.write(histPath, hist.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+    // cross-run robust headline: the median raw over every recorded
+    // run at this size — single windows on this host swing ±0.1 with
+    // its throttling, so the longitudinal median is the estimate a
+    // reader should trust; appended to BASELINE.md after the
+    // single-run tables
+    val lines = scala.jdk.CollectionConverters
+      .ListHasAsScala(java.nio.file.Files.readAllLines(histPath)).asScala
+    def nums(l: String, key: String): Seq[Double] =
+      (s""""$key":\\[([0-9.,]*)\\]""".r.findFirstMatchIn(l)
+        .map(_.group(1)).getOrElse("") match {
+        case "" => Array.empty[String]
+        case s => s.split(",")
+      }).map(_.toDouble).toSeq
+    val runs = lines.flatMap { l =>
+      val m = "\"eff\":([0-9.]+)".r.findFirstMatchIn(l)
+      val dm = "\"docs\":(\\d+)".r.findFirstMatchIn(l)
+      if (m.isDefined && dm.exists(_.group(1).toLong == nDocs)) {
+        val raws = nums(l, "reps_raw")
+        val ceils = nums(l, "reps_ceiling")
+        val norms = raws.zip(ceils).map { case (r, c) =>
+          if (c > 0) math.min(1.0, r / c) else r }
+        Some((m.get.group(1).toDouble,
+          if (norms.nonEmpty) norms.sorted.apply(norms.size / 2) else 0.0))
+      } else None
+    }.toSeq
+    if (runs.nonEmpty) {
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      val note =
+        f"""
+           |Cross-run headline over ${runs.size} recorded $nDocs-doc
+           |runs: median raw efficiency **${med(runs.map(_._1))}%.3f**,
+           |median within-run normalized **${med(runs.map(_._2))}%.3f**
+           |(single windows swing with host throttling — most samples
+           |land in throttled windows, which raw absorbs and the
+           |adjacent-control normalization corrects for, clamped so it
+           |never inflates past a calm window's raw).
+           |""".stripMargin
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH/BASELINE.md"),
+        note.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
+    }
   }
 }
