@@ -209,6 +209,41 @@ object OracleSql {
        |WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Shared CTE list for union-find over a pair query: reachability
+    * walk (recursive CTE, UNION dedup terminates it) → per-node min
+    * reachable id = component min. `pairsSql` is any complete query
+    * returning (doc_a, doc_b).
+    */
+  private def walkCtes(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($pairsSql)),
+       |nodes AS (SELECT doc_a AS id FROM pairs
+       |  UNION SELECT doc_b FROM pairs),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(id, comp) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+       |lab AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)""".stripMargin
+
+  /** Mirror of [[graft.pipeline.Dedup.clusters]]: exact union-find via
+    * recursive reachability (tractable at oracle scale; the Spark side
+    * runs large-star/small-star for the same fixpoint).
+    */
+  def clusters(pairsSql: String): String =
+    s"""${walkCtes(pairsSql)}
+       |SELECT id AS doc_id, comp AS cluster_id FROM lab
+       |ORDER BY doc_id""".stripMargin
+
+  /** Mirror of [[graft.pipeline.Dedup.dedupCorpus]]: drop every
+    * non-keeper cluster member, keep the rest of the corpus.
+    */
+  def dedupCorpus(pairsSql: String): String =
+    s"""${walkCtes(pairsSql)}
+       |SELECT d.doc_id, md5(d.text) AS fp FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT id FROM lab WHERE id <> comp)
+       |ORDER BY d.doc_id""".stripMargin
+
   def cosineTopK(queryId: Long, k: Int): String =
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings
        |  WHERE vec_id = $queryId)

@@ -268,6 +268,24 @@ object SparkEntry {
       // exact XOR-popcount verify (≤ 3 bits), salted cells for hot
       // chunk values
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")),
+    "dedup_clusters" -> ((s, d) =>
+      // near-dup pair graph → connected components (large-star /
+      // small-star): every doc in the graph labeled with its
+      // component's min id — the identity-resolution step between
+      // pair generation and corpus dedup
+      Dedup.clusters(
+        Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text", 16, 4, 0.2),
+        "doc_a", "doc_b")),
+    "dedup_corpus" -> ((s, d) =>
+      // the pipeline's flagship end-to-end: pairs → clusters → keeper
+      // per cluster (min id) → surviving corpus (content-checked fp).
+      // Composes the SIMHASH pair source (dedup_clusters composes the
+      // minhash one) — the resolution step is pair-source-agnostic
+      Dedup.dedupCorpus(t(s, d, "documents"), "doc_id",
+        Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text"),
+        "doc_a", "doc_b")
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .orderBy("doc_id")),
     // ---- similarity search -----------------------------------------
     "sim_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -497,6 +515,8 @@ object SparkEntry {
       "min(doc_id) AS keeper FROM documents GROUP BY fp ORDER BY fp"),
     "dedup_ngram" -> OracleSql.ngramJaccard(0.3, maxShingleDf = 100L),
     "dedup_minhash_lsh" -> OracleSql.minhashLsh(16, 4, 0.2),
+    "dedup_clusters" -> OracleSql.clusters(OracleSql.minhashLsh(16, 4, 0.2)),
+    "dedup_corpus" -> OracleSql.dedupCorpus(OracleSql.simhashPairs(3)),
     "sim_cosine_topk" -> OracleSql.cosineTopK(0L, 20),
     "sim_knn_join" -> OracleSql.knnJoin(10, 3),
     "ft_phrase" -> (s"SELECT doc_id FROM (SELECT doc_id, ' ' || " +

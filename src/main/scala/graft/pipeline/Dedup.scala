@@ -341,6 +341,120 @@ object Dedup {
       .transform(materializeAndFree(sig))
   }
 
+  /** Connected components over a near-dup PAIR graph — the step that
+    * turns pairwise similarity output ([[minhashLsh]], [[simhashPairs]],
+    * [[ngramJaccard]]) into dedup decisions: every doc gets the id of
+    * its component's minimum member as `cluster_id`. The reference
+    * resolves entity identity during its crawl upsert
+    * (/root/reference/packages/core/spheraform_core/tasks/crawl.py:190-254);
+    * a corpus-scale near-dup pass needs the same resolution over an
+    * arbitrary pair graph.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    * round is a groupBy-min plus a shuffle join keyed on node id, so
+    * no task ever holds a whole component, and convergence takes
+    * O(log²) rounds on any graph (near-dup graphs, mostly tiny
+    * star-ish clusters, converge in 2-3). Termination is detected by
+    * an order-insensitive edge-set signature (count + hash fold), and
+    * each round's edge set is checkpointed so the loop never
+    * re-executes prior rounds.
+    *
+    * Output: (doc_id, cluster_id) for every node that appears in
+    * `pairs`, cluster_id = min doc_id of the component. Docs absent
+    * from the pair graph are implicit singletons (callers treat
+    * missing as cluster_id = doc_id — [[dedupCorpus]] does).
+    */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String,
+               maxIter: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
+    val nodes = pairs.select(col(aCol).cast("long").as("id"))
+      .union(pairs.select(col(bCol).cast("long").as("id")))
+      .distinct()
+
+    def signature(e: DataFrame): (Long, Long) = {
+      // xor-fold of row hashes: order-insensitive over the DISTINCT
+      // edge set and immune to ANSI long-sum overflow
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // large-star: each node u points every LARGER neighbor at the
+    // minimum of its neighborhood (incl. u) — long chains collapse
+    // toward the minimum in log rounds
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    // small-star: each node links its SMALLER neighbors (and itself)
+    // to the minimum among them — flattens local stars
+    def smallStar(e: DataFrame): DataFrame = {
+      val norm = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = norm.groupBy("u").agg(min(col("v")).as("m"))
+      norm.join(mins, "u")
+        .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // Each round MUST truncate lineage (localCheckpoint), not merely
+    // persist: a round's logical plan embeds the previous round's
+    // whole tree 4× (two unions), so by round ~10 Catalyst spends
+    // unbounded time re-analyzing an exponentially growing plan even
+    // though the data is cached. Lazy (eager=false): the plan is
+    // truncated immediately and the signature aggregation is the one
+    // job that materializes the round — an eager checkpoint would run
+    // a second, redundant job per round. On a cluster deployment this
+    // would be a reliable checkpoint to durable storage instead
+    // (executor loss mid-loop restarts the loop, not the job).
+    var cur = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(false)
+    var curSig = signature(cur)
+    var converged = curSig._1 == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
+      val nextSig = signature(next)
+      converged = nextSig == curSig
+      cur = next
+      curSig = nextSig
+      it += 1
+    }
+    require(converged,
+      s"connected components did not converge in $maxIter rounds")
+    // converged star graph: every non-root has exactly its (node →
+    // component-min) edge; the groupBy-min is insurance, not semantics
+    val mapping = cur.groupBy(col("u")).agg(min(col("v")).as("comp"))
+      .select(col("u").as("id"), col("comp"))
+    nodes.join(mapping, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("comp"), col("id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end near-dup dedup: resolve `pairs` into clusters, keep
+    * one doc per cluster (the minimum id — the stable-keeper rule of
+    * [[exact]]), and return the surviving corpus rows. Docs outside
+    * the pair graph survive as singletons.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, pairs: DataFrame,
+                  aCol: String, bCol: String): DataFrame = {
+    val losers = clusters(pairs, aCol, bCol)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact all-pairs embedding cosine ≥ threshold as a triangular
     * block join: ids hash into `numBlocks` groups; cell (i, j), i ≤ j,
     * receives blocks i and j and scores their cross pairs in one task
