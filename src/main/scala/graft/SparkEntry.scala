@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Tokenize
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.{AnnIndex, Dedup, Multimodal, Similarity, TextOps}
 import graft.query.Searcher
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -293,12 +293,24 @@ object SparkEntry {
     "sim_knn_join" -> ((s, d) =>
       Similarity.knnJoin(t(s, d, "embeddings"), "vec_id", "embedding",
         10, 3)),
-    "sim_lsh_ann" -> ((s, d) =>
-      Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        1L, 20, numPlanes = 6, numTables = 4)),
-    "sim_ivf_ann" -> ((s, d) =>
-      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        2L, 20, numCentroids = 16, probes = 4)),
+    "sim_lsh_ann" -> ((s, d) => {
+      // artifact-served: buckets at rest, probed by pruned read — the
+      // per-query formulation (Similarity.lshTopK, identical results)
+      // rebucketed the corpus on every call
+      val dir = AnnIndex.ensureLsh(s, d, numPlanes = 6, numTables = 4,
+        seed = 42L)
+      val q = AnnIndex.lookupVec(t(s, d, "embeddings"), "vec_id",
+        "embedding", 1L)
+      AnnIndex.lshTopK(s, dir, q, 1L, 20)
+    }),
+    "sim_ivf_ann" -> ((s, d) => {
+      // artifact-served: inverted lists at rest, probes of
+      // numCentroids partitions read per query
+      val dir = AnnIndex.ensureIvf(s, d, numCentroids = 16)
+      val q = AnnIndex.lookupVec(t(s, d, "embeddings"), "vec_id",
+        "embedding", 2L)
+      AnnIndex.ivfTopK(s, dir, q, 2L, 20, probes = 4)
+    }),
     // ---- additional relational surface ------------------------------
     "ft_phrase" -> ((s, d) =>
       // phrase search = AND candidates + exact token-adjacency verify;
