@@ -85,7 +85,8 @@ object EntryIndex {
     * the oracle row narrow while still checking CONTENT, not just
     * membership.
     */
-  def exportDf(spark: SparkSession, dir: String, query: String): DataFrame = {
+  def exportDf(spark: SparkSession, dir: String, query: String,
+               format: String = "parquet"): DataFrame = {
     val idx = ensure(spark, dir)
     val src = spark.read.parquet(s"$dir/documents.parquet")
       .select(concat(lit("doc://"), col("doc_id")).as("url"), col("text"))
@@ -96,12 +97,21 @@ object EntryIndex {
     // deletes the chunks the other just committed)
     val pid = ProcessHandle.current().pid()
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$query".getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    val out = s"/tmp/graft_export/v1_${pid}_$h"
+      .digest(s"$dir|$query|$format".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val parent = "/tmp/graft_export"
+    val out = s"$parent/v1_${pid}_$h"
+    // pid-keying dedupes only intra-process repeats: every verify/
+    // bench run is a NEW JVM, so dead processes' dirs for this same
+    // (table, query) would still accumulate one full text export per
+    // run — sweep siblings whose pid is no longer alive (live pids
+    // are left alone; that concurrent-writer race is what the
+    // pid-keying exists to avoid)
+    sweepDeadSiblings(spark, parent, h, pid)
     IndexPaths.delete(spark, out)
     val chunks = 4
     Export.dumpQuery(spark, Seq(idx), query, src, out,
-      chunks = chunks, resume = false)
+      chunks = chunks, resume = false, format = format)
     // explicit schema: a zero-hit query writes chunks with no part
     // files, which schema inference rejects (and an empty export is a
     // valid result, not an error)
@@ -112,10 +122,43 @@ object EntryIndex {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    spark.read.schema(schema)
-      .parquet((0 until chunks).map(c => s"$out/chunk=$c"): _*)
+    val paths = (0 until chunks).map(c => s"$out/chunk=$c")
+    val reader = spark.read.schema(schema)
+    val back = format match {
+      case "jsonl" => reader.json(paths: _*)
+      case "csv" => reader.option("header", "true").csv(paths: _*)
+      case _ => reader.parquet(paths: _*)
+    }
+    back
       .select(col("doc_id"), col("url"), md5(col("text")).as("fp"))
       .orderBy("doc_id")
+  }
+
+  /** Delete export dirs left by processes that no longer exist —
+    * bounds /tmp growth at one copy per LIVE process instead of one
+    * per historical run, without racing live writers (a live pid's
+    * dirs are never touched, whatever their query hash). Dirs in
+    * legacy layouts (nanoTime-named, pid-less) belong to no current
+    * process and are swept unconditionally.
+    */
+  private def sweepDeadSiblings(spark: SparkSession, parent: String,
+                                h: String, selfPid: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(parent)
+    val f = IndexPaths.fs(spark, parent)
+    if (!f.exists(p)) return
+    f.listStatus(p).foreach { s =>
+      val name = s.getPath.getName
+      val dead = name.split("_").toSeq match {
+        case Seq("v1", pidStr, _) =>
+          pidStr.toLongOption match {
+            case Some(pid) if pid == selfPid => false
+            case Some(pid) => !ProcessHandle.of(pid).isPresent
+            case None => true // unparseable: legacy
+          }
+        case _ => true // nanoTime or pid-less legacy layout
+      }
+      if (dead) f.delete(s.getPath, true)
+    }
   }
 
   /** Engine-paged phrase serve: rows [offset, offset+limit) of the

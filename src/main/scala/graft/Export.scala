@@ -7,11 +7,17 @@ import graft.index.{Checkpoint, CheckpointStore, IndexPaths}
 import graft.query.Searcher
 
 /** Bulk retrieval: materialize a hit set (index-served conjunctive
-  * query, or a filtered corpus slice) WITH its text to parquet files —
-  * the reference's ExportJob surface
+  * query, or a filtered corpus slice) WITH its text — the reference's
+  * ExportJob surface
   * (/root/reference/packages/core/spheraform_core/models/job.py:177-239:
   * format enum, chunked progress, resumability). The serve path stops
   * at top-k rows; this is the "give me every matching document" path.
+  *
+  * Formats: parquet (default), jsonl (one JSON object per line — the
+  * usual training-data interchange), csv (header row) — the
+  * reference's ExportFormat analog (models/job.py:33). All formats
+  * share the same chunk/commit/resume machinery; only the writer
+  * branch differs.
   *
   * Scale shape: the hit set is a distributed Dataset end to end
   * ([[Searcher.conjunctiveDocs]] — posting-list AND, never a driver
@@ -20,27 +26,36 @@ import graft.query.Searcher
   * the build's CheckpointStore — a crashed export resumes at the first
   * incomplete chunk instead of restarting (reference: resumable chunk
   * ladder, models/job.py:115-167).
+  *
+  * Resume fencing: the chunk lineage embeds the query/predicate AND
+  * the INPUT identity — each index generation's (buildId, numDocs,
+  * maxDocId) and a source-corpus content fingerprint — so re-running
+  * into the same outDir after the index gained a delta / was
+  * compacted / the corpus was re-crawled discards the stale chunks
+  * instead of silently serving the previous inputs' rows under a
+  * fresh manifest (the same silent-stale-artifact class the build and
+  * compaction lineage fencing exists for).
   */
 object Export {
 
   case class ExportResult(rows: Long, chunks: Int, skipped: Int)
 
+  val Formats: Set[String] = Set("parquet", "jsonl", "csv")
+
   /** Export every doc matching ALL query terms, with url + text joined
-    * back from the source corpus. Output: `outDir/chunk=i/` parquet
-    * (doc_id, url, text) plus `manifest.json` on completion.
+    * back from the source corpus. Output: `outDir/chunk=i/` files in
+    * `format` plus `manifest.json` on completion.
     */
   def dumpQuery(spark: SparkSession, indexDirs: Seq[String],
                 query: String, srcDocs: DataFrame,
                 outDir: String, chunks: Int = 8,
-                resume: Boolean = true): ExportResult = {
-    import spark.implicits._
+                resume: Boolean = true,
+                format: String = "parquet"): ExportResult = {
+    requireFormat(format)
     val nChunks = math.max(1, chunks)
     val ckpt = new CheckpointStore(spark, outDir)
-    // resume is only valid for the SAME query and chunking: chunk
-    // checkpoints are keyed by index alone, so without this a re-run
-    // with a different query into the same outDir would skip every
-    // chunk and serve the old query's rows under the new manifest
-    val lineage = s"export;chunks=$nChunks;q=${tag(query)}"
+    val lineage = s"export;chunks=$nChunks;f=$format;q=${tag(query)};" +
+      s"idx=${indexTag(spark, indexDirs)};src=${srcTag(spark, srcDocs)}"
     if (resume && ckpt.invalidateUnlessLineage(lineage))
       deleteChunks(spark, outDir)
     val t0 = System.currentTimeMillis()
@@ -55,27 +70,11 @@ object Export {
       .withColumn("chunk", pmod(xxhash64(col("doc_id")), lit(nChunks)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var total = 0L
-      var skipped = 0
-      (0 until nChunks).foreach { c =>
-        if (resume && ckpt.isComplete("export", c)) {
-          skipped += 1
-          total += spark.read.parquet(s"$outDir/chunk=$c").count()
-        } else {
-          // row count observed during the write — no re-read job
-          val obs = new org.apache.spark.sql.Observation()
-          rows.filter(col("chunk") === c).drop("chunk")
-            .observe(obs, count(lit(1)).as("n"))
-            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/chunk=$c")
-          val n = obs.get("n").asInstanceOf[Long]
-          total += n
-          ckpt.commit(Checkpoint("export", "export", c, "COMPLETE", n,
-            IndexPaths.dirBytes(spark, s"$outDir/chunk=$c"),
-            lineage, t0, System.currentTimeMillis()))
-        }
-      }
+      val (total, skipped) = writeChunks(spark, rows, outDir, nChunks,
+        resume, ckpt, "export", lineage, t0, format)
       IndexPaths.writeString(spark, s"$outDir/manifest.json",
-        s"""{"rows":$total,"chunks":$nChunks,"query":${jsonStr(query)}}""")
+        s"""{"rows":$total,"chunks":$nChunks,"format":"$format",""" +
+          s""""query":${jsonStr(query)}}""")
       ExportResult(total, nChunks, skipped)
     } finally rows.unpersist()
   }
@@ -86,12 +85,16 @@ object Export {
   def dumpFilter(spark: SparkSession, srcDocs: DataFrame,
                  predicate: org.apache.spark.sql.Column,
                  outDir: String, chunks: Int = 8,
-                 resume: Boolean = true): ExportResult = {
+                 resume: Boolean = true,
+                 format: String = "parquet"): ExportResult = {
+    requireFormat(format)
     val nChunks = math.max(1, chunks)
     val ckpt = new CheckpointStore(spark, outDir)
     // Column.toString is a stable render of the expression tree —
-    // enough to fence resumes against a different predicate/chunking
-    val lineage = s"export_f;chunks=$nChunks;p=${tag(predicate.toString)}"
+    // enough to fence resumes against a different predicate/chunking;
+    // srcTag fences against the corpus itself changing underneath
+    val lineage = s"export_f;chunks=$nChunks;f=$format;" +
+      s"p=${tag(predicate.toString)};src=${srcTag(spark, srcDocs)}"
     if (resume && ckpt.invalidateUnlessLineage(lineage))
       deleteChunks(spark, outDir)
     val t0 = System.currentTimeMillis()
@@ -100,28 +103,88 @@ object Export {
         pmod(xxhash64(col("url")), lit(nChunks)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var total = 0L
-      var skipped = 0
-      (0 until nChunks).foreach { c =>
-        if (resume && ckpt.isComplete("export_f", c)) {
-          skipped += 1
-          total += spark.read.parquet(s"$outDir/chunk=$c").count()
-        } else {
-          val obs = new org.apache.spark.sql.Observation()
-          rows.filter(col("chunk") === c).drop("chunk")
-            .observe(obs, count(lit(1)).as("n"))
-            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/chunk=$c")
-          val n = obs.get("n").asInstanceOf[Long]
-          total += n
-          ckpt.commit(Checkpoint("export", "export_f", c, "COMPLETE", n,
-            IndexPaths.dirBytes(spark, s"$outDir/chunk=$c"),
-            lineage, t0, System.currentTimeMillis()))
-        }
-      }
+      val (total, skipped) = writeChunks(spark, rows, outDir, nChunks,
+        resume, ckpt, "export_f", lineage, t0, format)
       IndexPaths.writeString(spark, s"$outDir/manifest.json",
-        s"""{"rows":$total,"chunks":$nChunks}""")
+        s"""{"rows":$total,"chunks":$nChunks,"format":"$format"}""")
       ExportResult(total, nChunks, skipped)
     } finally rows.unpersist()
+  }
+
+  /** The shared chunk ladder: write-or-skip each chunk, commit after
+    * the write is durable. A skipped (already-COMPLETE) chunk's row
+    * count comes from its checkpoint record — no read job over
+    * completed chunks on resume (at high chunk counts a per-chunk
+    * listing+count was the dominant resume cost).
+    */
+  private def writeChunks(spark: SparkSession, rows: DataFrame,
+                          outDir: String, nChunks: Int, resume: Boolean,
+                          ckpt: CheckpointStore, stage: String,
+                          lineage: String, t0: Long,
+                          format: String): (Long, Int) = {
+    var total = 0L
+    var skipped = 0
+    (0 until nChunks).foreach { c =>
+      val committed = if (resume) ckpt.read(stage, c) else None
+      committed.filter(_.status == "COMPLETE") match {
+        case Some(done) =>
+          skipped += 1
+          total += done.rowCount
+        case None =>
+          // row count observed during the write — no re-read job
+          val obs = new org.apache.spark.sql.Observation()
+          val w = rows.filter(col("chunk") === c).drop("chunk")
+            .observe(obs, count(lit(1)).as("n"))
+            .write.mode(SaveMode.Overwrite)
+          val path = s"$outDir/chunk=$c"
+          format match {
+            case "parquet" => w.parquet(path)
+            case "jsonl" => w.json(path)
+            case "csv" => w.option("header", "true").csv(path)
+          }
+          val n = obs.get("n").asInstanceOf[Long]
+          total += n
+          ckpt.commit(Checkpoint("export", stage, c, "COMPLETE", n,
+            IndexPaths.dirBytes(spark, path),
+            lineage, t0, System.currentTimeMillis()))
+      }
+    }
+    (total, skipped)
+  }
+
+  private def requireFormat(format: String): Unit =
+    require(Formats.contains(format),
+      s"unsupported export format '$format' (one of ${Formats.mkString(",")})")
+
+  /** Identity of the serving index inputs: each generation's
+    * (buildId, numDocs, maxDocId) from its committed stats sidecar —
+    * any delta build, compaction, or re-crawl changes at least one of
+    * these, invalidating resumed chunks that were cut from the old
+    * index.
+    */
+  private def indexTag(spark: SparkSession, indexDirs: Seq[String]): String =
+    tag(indexDirs.sorted.map { d =>
+      val s = IndexPaths.readStats(spark, d)
+      s"$d=${s.buildId}:${s.numDocs}:${s.maxDocId}"
+    }.mkString(";"))
+
+  /** Content fingerprint of the source corpus DataFrame: canonicalized
+    * plan (exprIds normalized — stable across sessions) plus
+    * name/len/mtime of every backing file, so a re-crawled corpus
+    * under the same path still changes the tag. Best-effort for
+    * non-file sources (the plan string alone fences those).
+    */
+  private def srcTag(spark: SparkSession, df: DataFrame): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = df.inputFiles.sorted.map { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f:${st.getLen}:${st.getModificationTime}"
+      } catch { case _: java.io.IOException => f }
+    }
+    tag(df.queryExecution.analyzed.canonicalized.toString +
+      "|" + files.mkString(","))
   }
 
   /** Deterministic short fingerprint for lineage fields — checkpoint

@@ -335,6 +335,12 @@ object SparkEntry {
       // url + content (reference ExportJob), chunk-committed, then
       // read back — count and md5(text) both oracle-checked
       EntryIndex.exportDf(s, d, "data join")),
+    "ex_dump_jsonl" -> ((s, d) =>
+      // same export through the JSONL writer branch (training-data
+      // interchange format): identical chunk/commit machinery, and
+      // the md5-of-text oracle proves the JSON round-trip preserves
+      // content byte-exactly
+      EntryIndex.exportDf(s, d, "data join", format = "jsonl")),
     "ft_phrase_page" -> ((s, d) =>
       // paged engine phrase serve: bounded scatter-gather page (each
       // partition tops offset+limit ids; driver merges partial tops),
@@ -542,6 +548,11 @@ object SparkEntry {
       "FROM documents) WHERE norm LIKE '% data join %' ORDER BY doc_id " +
       "LIMIT 10 OFFSET 5"),
     "ex_dump" -> (s"SELECT doc_id, 'doc://' || doc_id AS url, " +
+      "md5(text) AS fp FROM (SELECT doc_id, text, " +
+      s"${OracleSql.toksExpr} AS t FROM documents) " +
+      "WHERE list_contains(t, 'data') AND list_contains(t, 'join') " +
+      "ORDER BY doc_id"),
+    "ex_dump_jsonl" -> (s"SELECT doc_id, 'doc://' || doc_id AS url, " +
       "md5(text) AS fp FROM (SELECT doc_id, text, " +
       s"${OracleSql.toksExpr} AS t FROM documents) " +
       "WHERE list_contains(t, 'data') AND list_contains(t, 'join') " +

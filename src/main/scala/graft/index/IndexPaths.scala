@@ -125,6 +125,19 @@ class CheckpointStore(spark: SparkSession, dir: String) {
     stale.nonEmpty
   }
 
+  /** The committed record of one (stage, unit), if present — resumes
+    * read rowCount/bytes from here instead of re-scanning output.
+    */
+  def read(stage: String, unit: Int): Option[Checkpoint] =
+    if (!IndexPaths.exists(spark, path(stage, unit))) None
+    else {
+      val m = IndexPaths.parseFlatJson(
+        IndexPaths.readString(spark, path(stage, unit)))
+      Some(Checkpoint(m("buildId"), m("stage"), m("unit").toInt,
+        m("status"), m("rowCount").toLong, m("bytes").toLong,
+        m("lineage"), m("startedMs").toLong, m("finishedMs").toLong))
+    }
+
   def isComplete(stage: String, unit: Int): Boolean =
     IndexPaths.exists(spark, path(stage, unit)) && {
       val m = IndexPaths.parseFlatJson(

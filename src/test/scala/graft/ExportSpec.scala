@@ -113,6 +113,116 @@ class ExportSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("jsonl and csv formats round-trip content; jsonl crash-resumes") {
+    import spark.implicits._
+    val (dir, src) = fixture
+    val q = {
+      val t = src.select($"text").as[String].head()
+      val ts = graft.functions.Tokenize.tokens(t).distinct
+      s"${ts(0)} ${ts(1)}"
+    }
+    val want = naiveAnd(src, graft.functions.Tokenize.tokens(q).distinct.toSeq)
+    // written column order is (doc_id, url, text); csv reads map an
+    // explicit schema POSITIONALLY, so the schema must match it
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("url", org.apache.spark.sql.types.StringType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    Seq("jsonl", "csv").foreach { fmt =>
+      val out = SparkTestSession.tmpDir(s"graft_export_$fmt")
+      val res = Export.dumpQuery(spark, Seq(dir), q, src, out,
+        chunks = 3, format = fmt)
+      assert(res.rows == want.size && want.nonEmpty)
+      val reader = spark.read.schema(schema)
+      val paths = (0 until 3).map(c => s"$out/chunk=$c")
+      val back = (fmt match {
+        case "jsonl" => reader.json(paths: _*)
+        case _ => reader.option("header", "true").csv(paths: _*)
+      }).select($"url", $"text").as[(String, String)].collect().toMap
+      assert(back.keySet == want, s"$fmt membership")
+      val srcText = src.select($"url", $"text").as[(String, String)]
+        .collect().toMap
+      // content survives the text round-trip byte-exactly
+      back.foreach { case (u, t) => assert(srcText(u) == t, s"$fmt $u") }
+    }
+    // crash-resume on the jsonl ladder: drop one chunk + its commit
+    val out = SparkTestSession.tmpDir("graft_export_jsonl_r")
+    val resA = Export.dumpQuery(spark, Seq(dir), q, src, out,
+      chunks = 3, format = "jsonl")
+    IndexPaths.delete(spark, s"$out/chunk=1")
+    IndexPaths.delete(spark, s"$out/_checkpoints/export_1.json")
+    val resB = Export.dumpQuery(spark, Seq(dir), q, src, out,
+      chunks = 3, format = "jsonl")
+    assert(resB.skipped == 2 && resB.rows == resA.rows)
+  }
+
+  test("resume fences on INDEX identity: a rebuilt index invalidates chunks") {
+    import spark.implicits._
+    val pagesA = PagesGen.pages(spark, 300L).cache()
+    val idxDir = SparkTestSession.tmpDir("graft_export_idx_mut")
+    IndexBuilder.build(DocIds.fromPages(pagesA, 4), idxDir, cfg, "expA")
+    val q = {
+      val t = pagesA.toDF().select($"text").as[String].head()
+      val ts = graft.functions.Tokenize.tokens(t).distinct
+      s"${ts(0)} ${ts(1)}"
+    }
+    val out = SparkTestSession.tmpDir("graft_export_idxline")
+    val resA = Export.dumpQuery(spark, Seq(idxDir), q, pagesA.toDF(),
+      out, chunks = 3)
+    assert(resA.rows > 0)
+    // the index changes in place (re-crawl/delta/compaction analog):
+    // numDocs/maxDocId/buildId in stats.json all differ
+    val pagesB = PagesGen.pages(spark, 340L).cache()
+    IndexBuilder.build(DocIds.fromPages(pagesB, 4), idxDir, cfg, "expB",
+      resume = false)
+    val resB = Export.dumpQuery(spark, Seq(idxDir), q, pagesB.toDF(),
+      out, chunks = 3)
+    assert(resB.skipped == 0,
+      "chunks cut from the OLD index served after the index changed")
+    pagesA.unpersist(); pagesB.unpersist()
+  }
+
+  test("resume fences on SOURCE content: re-written corpus invalidates") {
+    import spark.implicits._
+    val srcDir = SparkTestSession.tmpDir("graft_export_srcmut")
+    PagesGen.pages(spark, 200L).toDF().write.mode("overwrite")
+      .parquet(srcDir)
+    val out = SparkTestSession.tmpDir("graft_export_srcline")
+    val pred = length(col("text")) > 200
+    val resA = Export.dumpFilter(spark, spark.read.parquet(srcDir),
+      pred, out, chunks = 3)
+    assert(resA.rows > 0 && resA.skipped == 0)
+    // unchanged source: full skip
+    val resA2 = Export.dumpFilter(spark, spark.read.parquet(srcDir),
+      pred, out, chunks = 3)
+    assert(resA2.skipped == 3 && resA2.rows == resA.rows)
+    // re-crawled corpus under the SAME path: must re-export
+    PagesGen.pages(spark, 230L).toDF().write.mode("overwrite")
+      .parquet(srcDir)
+    val resB = Export.dumpFilter(spark, spark.read.parquet(srcDir),
+      pred, out, chunks = 3)
+    assert(resB.skipped == 0,
+      "stale chunks served after the source corpus changed")
+  }
+
+  test("resume reads committed counts from checkpoints, not chunk files") {
+    import spark.implicits._
+    val (dir, src) = fixture
+    val q = {
+      val t = src.select($"text").as[String].head()
+      val ts = graft.functions.Tokenize.tokens(t).distinct
+      s"${ts(0)} ${ts(1)}"
+    }
+    val out = SparkTestSession.tmpDir("graft_export_norecount")
+    val resA = Export.dumpQuery(spark, Seq(dir), q, src, out, chunks = 3)
+    // delete a committed chunk's FILES but keep its checkpoint: the
+    // resume must still total correctly — proof the count comes from
+    // the checkpoint record (a re-read would see 0 rows or fail)
+    IndexPaths.delete(spark, s"$out/chunk=0")
+    val resB = Export.dumpQuery(spark, Seq(dir), q, src, out, chunks = 3)
+    assert(resB.skipped == 3 && resB.rows == resA.rows)
+  }
+
   test("dumpFilter exports a predicate slice with chunk commits") {
     import spark.implicits._
     val (_, src) = fixture
