@@ -244,6 +244,31 @@ object OracleSql {
        |WHERE d.doc_id NOT IN (SELECT id FROM lab WHERE id <> comp)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Mirror of [[graft.pipeline.Taxonomy.rollup]] over `part` —
+    * generated from the same Theme list (alias CASE order and
+    * hierarchy VALUES share one source of truth).
+    */
+  def taxonomyRollup: String = {
+    import graft.pipeline.Taxonomy
+    val cases = Taxonomy.Themes.filter(_.aliases.nonEmpty).map { t =>
+      s"WHEN regexp_matches(lower(p_name), '${t.aliases.mkString("|")}') " +
+        s"THEN '${t.code}'"
+    }.mkString("\n  ")
+    val fallback = Taxonomy.Themes.find(_.aliases.isEmpty)
+      .map(_.code).getOrElse("other")
+    val vals = Taxonomy.Themes.map(t => s"('${t.code}','${t.parent}')")
+      .mkString(",")
+    s"""WITH lab AS (SELECT CASE
+       |  $cases
+       |  ELSE '$fallback' END AS leaf FROM part),
+       |tax(leaf, parent) AS (VALUES $vals)
+       |SELECT coalesce(t.parent,'ALL') AS parent,
+       |  coalesce(l.leaf,'ALL') AS leaf, count(*) AS n
+       |FROM lab l JOIN tax t ON l.leaf = t.leaf
+       |GROUP BY ROLLUP(t.parent, l.leaf)
+       |ORDER BY parent, leaf""".stripMargin
+  }
+
   def cosineTopK(queryId: Long, k: Int): String =
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings
        |  WHERE vec_id = $queryId)

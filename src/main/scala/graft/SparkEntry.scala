@@ -173,6 +173,11 @@ object SparkEntry {
           .when(lower(col("p_name")).rlike("gear|cog"), lit("drive"))
           .otherwise(lit("other")).as("label"))
         .orderBy("p_partkey")),
+    "f1_taxonomy" -> ((s, d) =>
+      // hierarchical theme rollup (reference Theme: aliases +
+      // parent_code): alias-CASE classify → broadcast-join the tiny
+      // hierarchy → rollup to parent subtotals + grand total
+      pipeline.Taxonomy.rollup(t(s, d, "part"), "p_name")),
     "f2_time" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(date_format(date_trunc("HOUR", col("ts")),
@@ -493,6 +498,7 @@ object SparkEntry {
       "WHEN regexp_matches(lower(p_name), 'bolt|nut|screw') THEN 'fastener' " +
       "WHEN regexp_matches(lower(p_name), 'gear|cog') THEN 'drive' " +
       "ELSE 'other' END AS label FROM part ORDER BY p_partkey"),
+    "f1_taxonomy" -> OracleSql.taxonomyRollup,
     "f2_time" -> ("SELECT strftime(date_trunc('hour', ts), " +
       "'%Y-%m-%d %H:%M:%S') AS hr, count(*) AS n FROM events " +
       "GROUP BY 1 ORDER BY hr"),
