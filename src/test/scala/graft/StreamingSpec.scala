@@ -39,9 +39,13 @@ class StreamingSpec extends AnyFunSuite {
       Seq(ev(1, 70, 7), ev(1, 80, 8),
         ev(3, 100, 9), ev(3, 110, 10)),
       // file 2: minutes 120-179; u1 gap>30 → new trailing session,
-      // u2 reappears after its timeout-closed session
+      // u2 reappears after its timeout-closed session. u4's event is
+      // BACKDATED (m95 < file 1's max m110) but within the watermark
+      // slack — out-of-order arrival, normal for a landing directory;
+      // the old hardcoded 0-second watermark silently dropped it
       Seq(ev(1, 150, 11),
-        ev(2, 160, 12), ev(2, 170, 13)))
+        ev(2, 160, 12), ev(2, 170, 13),
+        ev(4, 95, 14)))
     val srcDir = SparkTestSession.tmpDir("graft_sess_mb")
     batches.zipWithIndex.foreach { case (evs, i) =>
       evs.toDF("user_id", "ts", "event_id").coalesce(1)
