@@ -210,9 +210,11 @@ object Bench {
       // between minute-windows (measured: the hashing control gave
       // 0.97 and 0.63 at the same pair an hour apart), so a rep's
       // machine ceiling is only meaningful measured NEXT TO that rep.
-      // Normalization clamps the ceiling at 1.0 — it can only explain
-      // a slow window, never inflate past raw. Always >= 1 rep; stop
-      // early past the wall budget.
+      // Normalization divides raw by the clamped ceiling, so it can
+      // only RAISE raw (capped at 1.0 — never above what a calm
+      // window's raw could be); it explains throttled windows, it is
+      // not extra evidence on calm ones. Always >= 1 rep; stop early
+      // past the wall budget.
       val perRep = (0 until reps).flatMap { i =>
         val elapsed = (System.nanoTime() - benchStart) / 1e9
         if (i > 0 && elapsed > budgetSecs) None
@@ -316,8 +318,10 @@ object Bench {
          |  so per-config medians — robust to outlier windows in either
          |  direction — are the estimator; every rep's raw numbers are
          |  reported below, no best-of selection. Per-rep machine
-         |  ceilings are clamped at 1.0 so normalization can only
-         |  explain a slow window, never inflate past raw.
+         |  ceilings are clamped at 1.0; dividing raw by the ceiling
+         |  can only raise it, capped at 1.0 — never above what a calm
+         |  window's raw could be — so normalized explains throttled
+         |  windows rather than adding evidence on calm ones.
          |
          || Config | Build secs | docs/sec |
          ||---|---|---|
@@ -334,8 +338,10 @@ object Bench {
          || Engine scaling efficiency, median-throughput ratio (median tp_4N / median tp_N) / 4 | **$eff%.3f** (target ≥ 0.8 raw) |
          |
          |Gate = raw ≥ 0.8 OR every rep's normalized ≥ 0.8 (normalized
-         |only explains host-throttled windows — ceiling clamped at 1.0,
-         |it can never inflate past raw): **$gateLine**.
+         |= min(1.0, raw / adjacent-control ceiling) — it can only
+         |raise raw, clamped at 1.0 so it never exceeds what a calm
+         |window's raw could be; it explains host-throttled windows,
+         |it is not additional evidence in calm ones): **$gateLine**.
          |
          |Query latency over the committed query set (k=10, OR/WAND):
          |p50 = ${p50 * 1000}%.0f ms, p95 = ${p95 * 1000}%.0f ms.
