@@ -152,6 +152,37 @@ object Export {
     (total, skipped)
   }
 
+  /** Expiry sweep over a directory of export outputs (the reference's
+    * export `expires_at` + cleanup, models/job.py): delete every
+    * child export whose completion is older than `ttlMs`. Completion
+    * time = the manifest's mtime (written last on success); a crashed
+    * export without a manifest ages by its newest checkpoint commit —
+    * abandoned partials expire too instead of leaking forever.
+    * Returns the deleted paths.
+    */
+  def sweepExpired(spark: SparkSession, parentDir: String, ttlMs: Long,
+                   nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val f = IndexPaths.fs(spark, parentDir)
+    val p = new org.apache.hadoop.fs.Path(parentDir)
+    if (!f.exists(p)) return Seq.empty
+    f.listStatus(p).toSeq.filter(_.isDirectory).flatMap { d =>
+      val manifest = new org.apache.hadoop.fs.Path(
+        s"${d.getPath}/manifest.json")
+      val ckptDir = new org.apache.hadoop.fs.Path(
+        s"${d.getPath}/_checkpoints")
+      val doneAt =
+        if (f.exists(manifest)) f.getFileStatus(manifest).getModificationTime
+        else if (f.exists(ckptDir))
+          f.listStatus(ckptDir).map(_.getModificationTime)
+            .maxOption.getOrElse(d.getModificationTime)
+        else d.getModificationTime
+      if (nowMs - doneAt > ttlMs) {
+        f.delete(d.getPath, true)
+        Some(d.getPath.toString)
+      } else None
+    }
+  }
+
   private def requireFormat(format: String): Unit =
     require(Formats.contains(format),
       s"unsupported export format '$format' (one of ${Formats.mkString(",")})")

@@ -422,14 +422,33 @@ object Dedup {
     var curSig = signature(cur)
     var converged = curSig._1 == 0L
     var it = 0
-    while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(false)
-      val nextSig = signature(next)
-      converged = nextSig == curSig
-      cur = next
-      curSig = nextSig
-      it += 1
-    }
+    // Right-size the loop's shuffle width to the PAIR GRAPH, not the
+    // corpus: thresholded near-dup graphs are orders of magnitude
+    // smaller than their corpus (255 edges from 5 000 sf0.1 docs),
+    // and every round is several shuffles that would otherwise each
+    // schedule the session's full partition count for a near-empty
+    // graph (locally AQE hides most of it; on a cluster at width
+    // hundreds this is the difference between rounds costing seconds
+    // and minutes). ~1M edges per partition; capped at the session
+    // setting so a genuinely huge graph keeps full width.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(1L, math.min(prevShuffle.toLong,
+      curSig._1 / 1000000L + 1L))
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      while (!converged && it < maxIter) {
+        val tR = System.nanoTime()
+        val next = smallStar(largeStar(cur)).localCheckpoint(false)
+        val nextSig = signature(next)
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(f"[cc-debug] round $it: " +
+            f"${(System.nanoTime() - tR) / 1e9}%.2fs edges=${nextSig._1}")
+        converged = nextSig == curSig
+        cur = next
+        curSig = nextSig
+        it += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     require(converged,
       s"connected components did not converge in $maxIter rounds")
     // converged star graph: every non-root has exactly its (node →

@@ -223,6 +223,36 @@ class ExportSpec extends AnyFunSuite {
     assert(resB.skipped == 3 && resB.rows == resA.rows)
   }
 
+  test("sweepExpired deletes aged exports and abandoned partials only") {
+    import spark.implicits._
+    val (_, src) = fixture
+    val parent = SparkTestSession.tmpDir("graft_export_expiry")
+    val pred = length(col("text")) > 200
+    Export.dumpFilter(spark, src, pred, s"$parent/old", chunks = 2)
+    Export.dumpFilter(spark, src, pred, s"$parent/fresh", chunks = 2)
+    // a crashed export: chunks + checkpoints, no manifest
+    Export.dumpFilter(spark, src, pred, s"$parent/crashed", chunks = 2)
+    IndexPaths.delete(spark, s"$parent/crashed/manifest.json")
+    val now = System.currentTimeMillis()
+    val fs = IndexPaths.fs(spark, parent)
+    // age the old export's manifest and the crashed one's checkpoints
+    fs.setTimes(new org.apache.hadoop.fs.Path(
+      s"$parent/old/manifest.json"), now - 100000L, -1)
+    fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$parent/crashed/_checkpoints")).foreach { s =>
+      fs.setTimes(s.getPath, now - 100000L, -1)
+    }
+    val deleted = Export.sweepExpired(spark, parent, ttlMs = 50000L,
+      nowMs = now)
+    assert(deleted.map(d => d.split('/').last).sorted ==
+      Seq("crashed", "old"))
+    assert(!IndexPaths.exists(spark, s"$parent/old"))
+    assert(!IndexPaths.exists(spark, s"$parent/crashed"))
+    assert(IndexPaths.exists(spark, s"$parent/fresh/manifest.json"))
+    // fresh export still readable after the sweep
+    assert(spark.read.parquet(s"$parent/fresh/chunk=0").count() >= 0)
+  }
+
   test("dumpFilter exports a predicate slice with chunk commits") {
     import spark.implicits._
     val (_, src) = fixture
