@@ -432,10 +432,16 @@ object Dedup {
     // and minutes). ~1M edges per partition; capped at the session
     // setting so a genuinely huge graph keeps full width.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val loopParts = math.max(1L, math.min(prevShuffle.toLong,
       curSig._1 / 1000000L + 1L))
     try {
       spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      // with the width already right-sized there is nothing for AQE
+      // to adapt, and its per-stage re-planning pause is the dominant
+      // cost of a round at small graph sizes
+      if (loopParts < prevShuffle.toLong)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
       while (!converged && it < maxIter) {
         val tR = System.nanoTime()
         val next = smallStar(largeStar(cur)).localCheckpoint(false)
@@ -448,17 +454,25 @@ object Dedup {
         curSig = nextSig
         it += 1
       }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    require(converged,
-      s"connected components did not converge in $maxIter rounds")
-    // converged star graph: every non-root has exactly its (node →
-    // component-min) edge; the groupBy-min is insurance, not semantics
-    val mapping = cur.groupBy(col("u")).agg(min(col("v")).as("comp"))
-      .select(col("u").as("id"), col("comp"))
-    nodes.join(mapping, Seq("id"), "left")
-      .select(col("id").as("doc_id"),
-        coalesce(col("comp"), col("id")).as("cluster_id"))
-      .orderBy("doc_id")
+      require(converged,
+        s"connected components did not converge in $maxIter rounds")
+      // converged star graph: every non-root has exactly its (node →
+      // component-min) edge; the groupBy-min is insurance, not
+      // semantics. Labeling is materialized INSIDE the right-sized
+      // window (eager checkpoint — the output is node-count-bounded,
+      // far smaller than the corpus) so the caller's consumption
+      // never re-plans the loop tail at session width.
+      val mapping = cur.groupBy(col("u")).agg(min(col("v")).as("comp"))
+        .select(col("u").as("id"), col("comp"))
+      nodes.join(mapping, Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("comp"), col("id")).as("cluster_id"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** End-to-end near-dup dedup: resolve `pairs` into clusters, keep
