@@ -388,22 +388,21 @@ object Bench {
     }.toSeq
     if (runs.nonEmpty) {
       def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
-      // recency window: early rounds' runs measured a slower engine
-      // (pre-fusion build) in rougher windows; the trailing-5 median
-      // is the current engine's longitudinal estimate
+      // trailing window reported alongside the all-runs figure: a
+      // moving recency view, nothing more — any claim about WHY older
+      // rows differ belongs to the history, not this line
       val last5 = runs.takeRight(5)
       val note =
         f"""
            |Cross-run headline over ${runs.size} recorded $nDocs-doc
            |runs: median raw efficiency **${med(runs.map(_._1))}%.3f**,
            |median within-run normalized **${med(runs.map(_._2))}%.3f**;
-           |over the most recent ${last5.size} runs the median raw is
-           |**${med(last5.map(_._1))}%.3f** (the current engine's
-           |longitudinal estimate — earlier rows measured the
-           |pre-fusion build). Single windows swing with host
-           |throttling — most samples land in throttled windows, which
-           |raw absorbs and the adjacent-control normalization corrects
-           |for, clamped so it never inflates past a calm window's raw.
+           |trailing-${last5.size}-run median raw
+           |**${med(last5.map(_._1))}%.3f**. Single windows swing with
+           |host throttling — most samples land in throttled windows,
+           |which raw absorbs and the adjacent-control normalization
+           |corrects for, clamped so it never inflates past a calm
+           |window's raw.
            |""".stripMargin
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/BENCH/BASELINE.md"),

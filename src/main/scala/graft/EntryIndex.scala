@@ -107,7 +107,7 @@ object EntryIndex {
     // run — sweep siblings whose pid is no longer alive (live pids
     // are left alone; that concurrent-writer race is what the
     // pid-keying exists to avoid)
-    sweepDeadSiblings(spark, parent, h, pid)
+    sweepDeadSiblings(spark, parent, pid)
     IndexPaths.delete(spark, out)
     val chunks = 4
     Export.dumpQuery(spark, Seq(idx), query, src, out,
@@ -126,7 +126,12 @@ object EntryIndex {
     val reader = spark.read.schema(schema)
     val back = format match {
       case "jsonl" => reader.json(paths: _*)
-      case "csv" => reader.option("header", "true").csv(paths: _*)
+      case "csv" => reader.option("header", "true")
+        .option("multiLine", "true").option("escape", "\"")
+        // never-occurring sentinel: the default nullValue "" would
+        // fold quoted-empty text back to null (md5(null) ≠ md5(""))
+        .option("nullValue", "\u0001")
+        .csv(paths: _*)
       case _ => reader.parquet(paths: _*)
     }
     back
@@ -142,7 +147,7 @@ object EntryIndex {
     * process and are swept unconditionally.
     */
   private def sweepDeadSiblings(spark: SparkSession, parent: String,
-                                h: String, selfPid: Long): Unit = {
+                                selfPid: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(parent)
     val f = IndexPaths.fs(spark, parent)
     if (!f.exists(p)) return

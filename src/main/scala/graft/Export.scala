@@ -140,7 +140,14 @@ object Export {
           format match {
             case "parquet" => w.parquet(path)
             case "jsonl" => w.json(path)
-            case "csv" => w.option("header", "true").csv(path)
+            case "csv" =>
+              // RFC4180 quoting (escape = double-quote, not backslash)
+              // and a quoted empty marker: web text contains newlines,
+              // quotes and empty strings, and the default writer
+              // options silently corrupt all three on read-back
+              // (consumers must read with multiLine=true, escape='"')
+              w.option("header", "true").option("escape", "\"")
+                .option("emptyValue", "\"\"").csv(path)
           }
           val n = obs.get("n").asInstanceOf[Long]
           total += n
@@ -154,11 +161,14 @@ object Export {
 
   /** Expiry sweep over a directory of export outputs (the reference's
     * export `expires_at` + cleanup, models/job.py): delete every
-    * child export whose completion is older than `ttlMs`. Completion
-    * time = the manifest's mtime (written last on success); a crashed
-    * export without a manifest ages by its newest checkpoint commit —
-    * abandoned partials expire too instead of leaking forever.
-    * Returns the deleted paths.
+    * child export whose NEWEST activity — manifest, checkpoint
+    * commits, or chunk dirs — is older than `ttlMs`, so completed
+    * exports expire by their completion time and abandoned partials
+    * expire too instead of leaking forever. An IN-FLIGHT export keeps
+    * touching its chunk dirs, so it survives any ttl longer than its
+    * slowest single chunk — choose ttl accordingly (hours, not
+    * seconds); there is no pid in the layout to check liveness
+    * against. Returns the deleted paths.
     */
   def sweepExpired(spark: SparkSession, parentDir: String, ttlMs: Long,
                    nowMs: Long = System.currentTimeMillis()): Seq[String] = {
@@ -166,17 +176,12 @@ object Export {
     val p = new org.apache.hadoop.fs.Path(parentDir)
     if (!f.exists(p)) return Seq.empty
     f.listStatus(p).toSeq.filter(_.isDirectory).flatMap { d =>
-      val manifest = new org.apache.hadoop.fs.Path(
-        s"${d.getPath}/manifest.json")
       val ckptDir = new org.apache.hadoop.fs.Path(
         s"${d.getPath}/_checkpoints")
-      val doneAt =
-        if (f.exists(manifest)) f.getFileStatus(manifest).getModificationTime
-        else if (f.exists(ckptDir))
-          f.listStatus(ckptDir).map(_.getModificationTime)
-            .maxOption.getOrElse(d.getModificationTime)
-        else d.getModificationTime
-      if (nowMs - doneAt > ttlMs) {
+      val activity = (f.listStatus(d.getPath).toSeq ++
+        (if (f.exists(ckptDir)) f.listStatus(ckptDir).toSeq else Seq.empty))
+        .map(_.getModificationTime) :+ d.getModificationTime
+      if (nowMs - activity.max > ttlMs) {
         f.delete(d.getPath, true)
         Some(d.getPath.toString)
       } else None

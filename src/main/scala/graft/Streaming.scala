@@ -117,8 +117,14 @@ object Streaming {
     // later micro-batch at or below (max seen − delay) is dropped as
     // late by FlatMapGroupsWithStateExec — with the old hardcoded
     // "0 seconds" ANY backdated arrival was silently lost. Default
-    // slack = the session gap: an arrival more delayed than the gap
-    // could only extend a session the gap rule already closed.
+    // slack = the session gap. Honest limit of append-mode
+    // sessionization: an emitted session is FINAL — a backdated
+    // arrival inside the slack is never lost, but if it lands in a
+    // gap whose session was already closed and emitted by an
+    // in-batch successor event, it extends/opens a LATER session
+    // instead of retroactively merging the closed one (batch
+    // recomputation over the same events would merge). Larger slack
+    // narrows the drop window, not the no-retraction rule.
     val wmDelay = watermarkDelay.getOrElse(s"$gapMinutes minutes")
     val name = s"graft_stream_sess_${counter.incrementAndGet()}"
     // per-run checkpoint (memory sink cannot recover from a previous

@@ -169,8 +169,11 @@ object AnnIndex {
     val dims = emb.select(size(col(vecCol))).head().getInt(0)
     val vecs = emb.select(col(idCol).cast("long").as("vid"),
       col(vecCol).as("vec"))
-    vecs.write.mode(SaveMode.Overwrite).parquet(s"$dir/vecs")
-    val nVecs = spark.read.parquet(s"$dir/vecs").count()
+    // row count observed during the write — no re-read job
+    val vObs = new org.apache.spark.sql.Observation()
+    vecs.observe(vObs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/vecs")
+    val nVecs = vObs.get("n").asInstanceOf[Long]
     ckpt.commit(Checkpoint("ann", "ann_vecs", 0, "COMPLETE", nVecs,
       IndexPaths.dirBytes(spark, s"$dir/vecs"),
       line, t0, System.currentTimeMillis()))
@@ -274,10 +277,11 @@ object AnnIndex {
                 numCentroids: Int): String = synchronized {
     val src = s"$sfDir/embeddings.parquet"
     val tag = contentTag(spark, src)
-    val dir = s"/tmp/graft_ann/v1_ivf${numCentroids}_$tag"
-    buildIvf(spark.read.parquet(src), "vec_id", "embedding",
-      dir, numCentroids, lineage = tag)
-    dir
+    val dir = s"${CacheRoot}/v1_ivf${numCentroids}_$tag"
+    publish(spark, dir, s"ivf;c=$numCentroids;src=$tag") { tmp =>
+      buildIvf(spark.read.parquet(src), "vec_id", "embedding",
+        tmp, numCentroids, lineage = tag)
+    }
   }
 
   /** Build-once LSH artifact over `<sfDir>/embeddings.parquet`. */
@@ -285,9 +289,65 @@ object AnnIndex {
                 numTables: Int, seed: Long): String = synchronized {
     val src = s"$sfDir/embeddings.parquet"
     val tag = contentTag(spark, src)
-    val dir = s"/tmp/graft_ann/v1_lsh${numPlanes}_${numTables}_${seed}_$tag"
-    buildLsh(spark.read.parquet(src), "vec_id", "embedding",
-      dir, numPlanes, numTables, seed, lineage = tag)
+    val dir = s"${CacheRoot}/v1_lsh${numPlanes}_${numTables}_${seed}_$tag"
+    publish(spark, dir, s"lsh;p=$numPlanes;t=$numTables;s=$seed;src=$tag") {
+      tmp =>
+        buildLsh(spark.read.parquet(src), "vec_id", "embedding",
+          tmp, numPlanes, numTables, seed, lineage = tag)
+    }
+  }
+
+  private val CacheRoot = "/tmp/graft_ann"
+
+  /** Artifacts unused for this long are deleted by the next ensure
+    * call — a regenerated source table changes the content tag, so
+    * old-tag dirs (each a full vector copy) would otherwise
+    * accumulate forever.
+    */
+  private val SweepTtlMs = 6L * 3600 * 1000
+
+  /** Cross-process-safe publication of a shared cached artifact: the
+    * build writes into a pid-unique sibling, then the completed tree
+    * moves to the final name — two JVMs racing the same key never
+    * interleave writes inside one dir (the corruption class the
+    * exportDf pid-keying exists for; here the artifact must be
+    * SHARED across runs, so the pid isolation applies to the build,
+    * not the serve path). Also sweeps aged sibling artifacts.
+    */
+  private def publish(spark: SparkSession, dir: String, line: String)(
+      build: String => Unit): String = {
+    sweepAged(spark)
+    if (committed(spark, dir, line)) return dir
+    val tmp = s"${dir}_build${ProcessHandle.current().pid()}"
+    IndexPaths.delete(spark, tmp)
+    build(tmp)
+    val f = IndexPaths.fs(spark, dir)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    // a stale half-built final dir (crashed publisher) must go first:
+    // Hadoop rename into an EXISTING dir nests instead of replacing
+    if (f.exists(dst) && !committed(spark, dir, line)) f.delete(dst, true)
+    if (committed(spark, dir, line) ||
+        !f.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      // lost the publish race — serve the winner's committed copy
+      IndexPaths.delete(spark, tmp)
+      if (!committed(spark, dir, line))
+        throw new java.io.IOException(s"ANN artifact publish failed: $dir")
+    }
     dir
+  }
+
+  private def sweepAged(spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(CacheRoot)
+    val f = IndexPaths.fs(spark, CacheRoot)
+    if (!f.exists(p)) return
+    val now = System.currentTimeMillis()
+    f.listStatus(p).foreach { s =>
+      val marker = new org.apache.hadoop.fs.Path(
+        s"${s.getPath}/ann_stats.json")
+      val age = now - (if (f.exists(marker))
+        f.getFileStatus(marker).getModificationTime
+      else s.getModificationTime)
+      if (age > SweepTtlMs) f.delete(s.getPath, true)
+    }
   }
 }

@@ -223,6 +223,31 @@ class ExportSpec extends AnyFunSuite {
     assert(resB.skipped == 3 && resB.rows == resA.rows)
   }
 
+  test("csv export round-trips newlines, quotes, commas and empty text") {
+    import spark.implicits._
+    val hostile = Seq(
+      ("u1", "line one\nline two\nline three"),
+      ("u2", "she said \"hi, there\" and left"),
+      ("u3", ""),
+      ("u4", "trailing comma, then \"quoted\nnewline\"")).toDF("url", "text")
+    val out = SparkTestSession.tmpDir("graft_export_csv_hostile")
+    val res = Export.dumpFilter(spark, hostile, lit(true), out,
+      chunks = 1, format = "csv")
+    assert(res.rows == 4)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("url", org.apache.spark.sql.types.StringType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    // nullValue must be a never-occurring sentinel: the reader's
+    // default nullValue is "" which folds quoted-empty back to null
+    val back = spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").option("nullValue", "\u0001")
+      .csv(s"$out/chunk=0")
+      .as[(String, String)].collect().toMap
+    val want = hostile.as[(String, String)].collect().toMap
+    assert(back == want, s"csv round-trip diverged: $back")
+  }
+
   test("sweepExpired deletes aged exports and abandoned partials only") {
     import spark.implicits._
     val (_, src) = fixture
@@ -235,11 +260,25 @@ class ExportSpec extends AnyFunSuite {
     IndexPaths.delete(spark, s"$parent/crashed/manifest.json")
     val now = System.currentTimeMillis()
     val fs = IndexPaths.fs(spark, parent)
-    // age the old export's manifest and the crashed one's checkpoints
-    fs.setTimes(new org.apache.hadoop.fs.Path(
-      s"$parent/old/manifest.json"), now - 100000L, -1)
-    fs.listStatus(new org.apache.hadoop.fs.Path(
-      s"$parent/crashed/_checkpoints")).foreach { s =>
+    // age ALL recorded activity of the old + crashed exports (expiry
+    // keys on the NEWEST mtime anywhere, so an in-flight export's
+    // ongoing chunk writes keep it alive)
+    Seq("old", "crashed").foreach { d =>
+      val root = new org.apache.hadoop.fs.Path(s"$parent/$d")
+      fs.setTimes(root, now - 100000L, -1)
+      fs.listStatus(root).foreach { s =>
+        fs.setTimes(s.getPath, now - 100000L, -1)
+        if (s.isDirectory)
+          fs.listStatus(s.getPath).foreach(c =>
+            fs.setTimes(c.getPath, now - 100000L, -1))
+      }
+    }
+    // a recently-active partial must NOT expire even if most of it is
+    // old: age everything in fresh2 except one chunk dir
+    Export.dumpFilter(spark, src, pred, s"$parent/fresh2", chunks = 2)
+    IndexPaths.delete(spark, s"$parent/fresh2/manifest.json")
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$parent/fresh2"))
+      .filterNot(_.getPath.getName == "chunk=0").foreach { s =>
       fs.setTimes(s.getPath, now - 100000L, -1)
     }
     val deleted = Export.sweepExpired(spark, parent, ttlMs = 50000L,
@@ -249,6 +288,8 @@ class ExportSpec extends AnyFunSuite {
     assert(!IndexPaths.exists(spark, s"$parent/old"))
     assert(!IndexPaths.exists(spark, s"$parent/crashed"))
     assert(IndexPaths.exists(spark, s"$parent/fresh/manifest.json"))
+    assert(IndexPaths.exists(spark, s"$parent/fresh2"),
+      "in-flight export with recent chunk activity was expired")
     // fresh export still readable after the sweep
     assert(spark.read.parquet(s"$parent/fresh/chunk=0").count() >= 0)
   }

@@ -88,6 +88,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sortBy(x => (x._1, x._2)) == want, s"got=$got want=$want")
   }
 
+  test("sessionize no-retraction rule: a bridging late arrival opens a later session") {
+    import spark.implicits._
+    // u9: m0 and m40 in batch 1 (gap 40 > 30 closes+emits {m0}), then
+    // a backdated m29 in batch 2 — inside the watermark slack
+    // (watermark = 40 − 30 = m10), so it is NOT dropped. Batch
+    // recomputation over {0, 29, 40} would merge everything into ONE
+    // session of 3; append-mode streaming cannot retract the emitted
+    // {m0}, so the arrival extends the open session instead. This
+    // pins the DOCUMENTED divergence (emitted sessions are final);
+    // losing the event entirely (the old 0-second watermark) is the
+    // failure mode this guards against.
+    val base = 1700000000000L
+    def ev(minute: Long, eid: Long) =
+      (9L, new java.sql.Timestamp(base + minute * 60000L), eid)
+    val srcDir = SparkTestSession.tmpDir("graft_sess_late")
+    Seq(Seq(ev(0, 1), ev(40, 2)), Seq(ev(29, 3))).zipWithIndex.foreach {
+      case (evs, i) =>
+        evs.toDF("user_id", "ts", "event_id").coalesce(1)
+          .write.parquet(s"$srcDir/f$i")
+    }
+    val fs = graft.index.IndexPaths.fs(spark, srcDir)
+    val flat = SparkTestSession.tmpDir("graft_sess_late_flat")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(flat))
+    (0 until 2).foreach { i =>
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$srcDir/f$i/part-*.parquet")).head
+      fs.rename(part.getPath,
+        new org.apache.hadoop.fs.Path(s"$flat/b$i.parquet"))
+    }
+    val got = Streaming.sessionize(spark, dir = "unused",
+      gapMinutes = 30, maxFilesPerTrigger = 1,
+      srcOverride = Some(flat)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._2)
+    assert(got == Seq((9L, 1L, 1L), (9L, 2L, 2L)),
+      s"late bridging arrival mishandled: $got")
+  }
+
   test("windowed streaming counts == batch window agg") {
     val streamed = Streaming.windowedCounts(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted

@@ -12,6 +12,15 @@ import graft.SparkTestSession
 class AnnIndexSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  /** The CONTENT of every PartitionFilters list in the plan — a bare
+    * `plan.contains("PartitionFilters")` is vacuous (partitioned scans
+    * always print the header, even empty, and the column names appear
+    * in ReadSchema regardless).
+    */
+  def partitionFilters(plan: String): String =
+    "PartitionFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(plan)
+      .map(_.group(1)).mkString(";")
+
   def vecsDf(n: Int, dims: Int, seed: Long) = {
     import spark.implicits._
     (0 until n).map { i =>
@@ -34,7 +43,7 @@ class AnnIndexSpec extends AnyFunSuite {
       .toSeq == want)
     assert(want.nonEmpty)
     val plan = served.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+    assert(partitionFilters(plan).contains("cid"),
       s"IVF serve not partition-pruned:\n$plan")
   }
 
@@ -52,7 +61,8 @@ class AnnIndexSpec extends AnyFunSuite {
       .toSeq == want)
     assert(want.nonEmpty)
     val plan = served.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
+    assert(partitionFilters(plan).contains("bkt") &&
+      partitionFilters(plan).contains("t"),
       s"LSH serve not partition-pruned:\n$plan")
   }
 
