@@ -18,18 +18,10 @@ object EntryIndex {
     * every file under documents.parquet) — a changed table must never
     * silently reuse a stale index.
     */
-  private def indexDirFor(spark: SparkSession, dir: String): String = {
-    val src = s"$dir/documents.parquet"
-    val sig =
-      if (!IndexPaths.exists(spark, src)) "missing"
-      else IndexPaths.fs(spark, src)
-        .listStatus(new org.apache.hadoop.fs.Path(src))
-        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-        .sorted.mkString(",")
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$sig".getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    s"/tmp/graft_entry_index/v9_$h" // v9: stats.json positions flag
-  }
+  private def indexDirFor(spark: SparkSession, dir: String): String =
+    // v10: key via the shared IndexPaths.contentTag helper
+    s"/tmp/graft_entry_index/v10_" +
+      IndexPaths.contentTag(spark, s"$dir/documents.parquet")
 
   def ensure(spark: SparkSession, dir: String): String = synchronized {
     val idx = indexDirFor(spark, dir)

@@ -56,8 +56,7 @@ object Export {
     val ckpt = new CheckpointStore(spark, outDir)
     val lineage = s"export;chunks=$nChunks;f=$format;q=${tag(query)};" +
       s"idx=${indexTag(spark, indexDirs)};src=${srcTag(spark, srcDocs)}"
-    if (resume && ckpt.invalidateUnlessLineage(lineage))
-      deleteChunks(spark, outDir)
+    prepareOutDir(spark, outDir, ckpt, lineage, resume)
     val t0 = System.currentTimeMillis()
     val ids = Searcher.conjunctiveDocs(spark, indexDirs, query)
       .toDF("docId")
@@ -95,8 +94,7 @@ object Export {
     // srcTag fences against the corpus itself changing underneath
     val lineage = s"export_f;chunks=$nChunks;f=$format;" +
       s"p=${tag(predicate.toString)};src=${srcTag(spark, srcDocs)}"
-    if (resume && ckpt.invalidateUnlessLineage(lineage))
-      deleteChunks(spark, outDir)
+    prepareOutDir(spark, outDir, ckpt, lineage, resume)
     val t0 = System.currentTimeMillis()
     val rows = srcDocs.filter(predicate)
       .withColumn("chunk",
@@ -191,6 +189,27 @@ object Export {
   private def requireFormat(format: String): Unit =
     require(Formats.contains(format),
       s"unsupported export format '$format' (one of ${Formats.mkString(",")})")
+
+  /** Reset the output dir for a run: the previous manifest ALWAYS
+    * goes first — it is the completion marker, and it must never
+    * advertise a finished export over chunks a crashed re-run left
+    * half-written (it is rewritten at the end of a successful run,
+    * including a full-skip resume). resume=false additionally clears
+    * all chunks and checkpoints — without that, a re-export with a
+    * smaller chunk count leaves the larger run's orphan chunk dirs
+    * for globbing consumers; resume=true clears them only when the
+    * lineage changed.
+    */
+  private def prepareOutDir(spark: SparkSession, outDir: String,
+                            ckpt: CheckpointStore, lineage: String,
+                            resume: Boolean): Unit = {
+    IndexPaths.delete(spark, s"$outDir/manifest.json")
+    if (!resume) {
+      IndexPaths.delete(spark, s"$outDir/_checkpoints")
+      deleteChunks(spark, outDir)
+    } else if (ckpt.invalidateUnlessLineage(lineage))
+      deleteChunks(spark, outDir)
+  }
 
   /** Identity of the serving index inputs: each generation's
     * (buildId, numDocs, maxDocId) from its committed stats sidecar —

@@ -32,11 +32,7 @@ object Streaming {
   private def stageDir(spark: SparkSession, dir: String): String = synchronized {
     val srcPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val sfs = graft.index.IndexPaths.fs(spark, dir)
-    val sig = sfs.listStatus(srcPath)
-      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString(",")
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$sig".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val h = graft.index.IndexPaths.contentTag(spark, srcPath.toString)
     val out = s"/tmp/graft_stream_src/$h"
     val fin = new org.apache.hadoop.fs.Path(s"$out/events.parquet")
     if (!graft.index.IndexPaths.exists(spark, fin.toString)) {

@@ -51,6 +51,23 @@ object IndexPaths {
     if (f.exists(p)) f.delete(p, true)
   }
 
+  /** Content fingerprint of a table path — name/len/mtime of every
+    * file under it (or of the file itself), md5-hexed with the path.
+    * THE cache-key rule for derived artifacts (EntryIndex index cache,
+    * streaming staging, ANN artifacts): a changed source must never
+    * silently reuse a stale derivative.
+    */
+  def contentTag(spark: SparkSession, path: String): String = {
+    val sig =
+      if (!exists(spark, path)) "missing"
+      else fs(spark, path).listStatus(new Path(path))
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$path|$sig".getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
   def dirBytes(spark: SparkSession, path: String): Long = {
     val f = fs(spark, path)
     val p = new Path(path)

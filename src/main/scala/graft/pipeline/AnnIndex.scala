@@ -42,21 +42,6 @@ import graft.index.{Checkpoint, CheckpointStore, IndexPaths}
   */
 object AnnIndex {
 
-  /** Content fingerprint of a parquet table path (name/len/mtime of
-    * every file): artifact cache keys must change when the source
-    * changes (the EntryIndex rule).
-    */
-  def contentTag(spark: SparkSession, path: String): String = {
-    val sig =
-      if (!IndexPaths.exists(spark, path)) "missing"
-      else IndexPaths.fs(spark, path)
-        .listStatus(new org.apache.hadoop.fs.Path(path))
-        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-        .sorted.mkString(",")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$path|$sig".getBytes("UTF-8")).map(b => f"$b%02x").mkString
-  }
-
   private def statsPath(dir: String) = s"$dir/ann_stats.json"
 
   private def committed(spark: SparkSession, dir: String,
@@ -87,6 +72,10 @@ object AnnIndex {
     IndexPaths.delete(spark, dir)
     val ckpt = new CheckpointStore(spark, dir)
     val t0 = System.currentTimeMillis()
+    // headOption: an empty corpus commits an empty artifact (dims 0)
+    // instead of crashing after the old artifact was already deleted
+    val dims = emb.select(size(col(vecCol))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
     val cents = emb.filter(col(idCol) < numCentroids)
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
     cents.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
@@ -116,7 +105,7 @@ object AnnIndex {
       line, t0, System.currentTimeMillis()))
     IndexPaths.writeString(spark, statsPath(dir),
       s"""{"kind":"ivf","numCentroids":$numCentroids,"numVecs":$n,""" +
-        s""""lineage":"$line"}""")
+        s""""dims":$dims,"lineage":"$line"}""")
   }
 
   /** Serve top-k from the IVF artifact: probe selection over the tiny
@@ -130,6 +119,13 @@ object AnnIndex {
               queryId: Long, k: Int, probes: Int): DataFrame = {
     require(IndexPaths.exists(spark, statsPath(dir)),
       s"no committed IVF artifact at $dir")
+    // wrong-dims queries would silently rank on null cosines
+    // (zip_with pads) — fail loudly instead, like the LSH serve
+    val dims = IndexPaths.parseFlatJson(
+      IndexPaths.readString(spark, statsPath(dir)))
+      .get("dims").map(_.toInt)
+    require(dims.forall(_ == queryVec.length),
+      s"query dims ${queryVec.length} != artifact dims ${dims.get}")
     val qArr = array(queryVec.map(v => lit(v)).toSeq: _*)
     val qProbes = spark.read.parquet(s"$dir/centroids")
       .withColumn("qsim",
@@ -166,7 +162,10 @@ object AnnIndex {
     IndexPaths.delete(spark, dir)
     val ckpt = new CheckpointStore(spark, dir)
     val t0 = System.currentTimeMillis()
-    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    // headOption: empty corpus → empty committed artifact, not a
+    // crash that leaves no artifact at all (buildIvf same rule)
+    val dims = emb.select(size(col(vecCol))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
     val vecs = emb.select(col(idCol).cast("long").as("vid"),
       col(vecCol).as("vec"))
     // row count observed during the write — no re-read job
@@ -276,7 +275,7 @@ object AnnIndex {
   def ensureIvf(spark: SparkSession, sfDir: String,
                 numCentroids: Int): String = synchronized {
     val src = s"$sfDir/embeddings.parquet"
-    val tag = contentTag(spark, src)
+    val tag = IndexPaths.contentTag(spark, src)
     val dir = s"${CacheRoot}/v1_ivf${numCentroids}_$tag"
     publish(spark, dir, s"ivf;c=$numCentroids;src=$tag") { tmp =>
       buildIvf(spark.read.parquet(src), "vec_id", "embedding",
@@ -288,7 +287,7 @@ object AnnIndex {
   def ensureLsh(spark: SparkSession, sfDir: String, numPlanes: Int,
                 numTables: Int, seed: Long): String = synchronized {
     val src = s"$sfDir/embeddings.parquet"
-    val tag = contentTag(spark, src)
+    val tag = IndexPaths.contentTag(spark, src)
     val dir = s"${CacheRoot}/v1_lsh${numPlanes}_${numTables}_${seed}_$tag"
     publish(spark, dir, s"lsh;p=$numPlanes;t=$numTables;s=$seed;src=$tag") {
       tmp =>
@@ -317,11 +316,18 @@ object AnnIndex {
   private def publish(spark: SparkSession, dir: String, line: String)(
       build: String => Unit): String = {
     sweepAged(spark)
-    if (committed(spark, dir, line)) return dir
+    val f = IndexPaths.fs(spark, dir)
+    val marker = new org.apache.hadoop.fs.Path(statsPath(dir))
+    if (committed(spark, dir, line)) {
+      // refresh last-USE on the marker: the aged sweep must never
+      // delete an artifact a process keeps serving (serve reads do
+      // not touch mtimes)
+      f.setTimes(marker, System.currentTimeMillis(), -1)
+      return dir
+    }
     val tmp = s"${dir}_build${ProcessHandle.current().pid()}"
     IndexPaths.delete(spark, tmp)
     build(tmp)
-    val f = IndexPaths.fs(spark, dir)
     val dst = new org.apache.hadoop.fs.Path(dir)
     // a stale half-built final dir (crashed publisher) must go first:
     // Hadoop rename into an EXISTING dir nests instead of replacing
@@ -333,6 +339,11 @@ object AnnIndex {
       if (!committed(spark, dir, line))
         throw new java.io.IOException(s"ANN artifact publish failed: $dir")
     }
+    // TOCTOU residue: if a racer renamed between our committed() check
+    // and rename, our tmp tree nested INSIDE the winner's dir (local
+    // rename into an existing dir nests) — drop any such duplicate
+    f.listStatus(dst).filter(_.getPath.getName.contains("_build"))
+      .foreach(s => f.delete(s.getPath, true))
     dir
   }
 
@@ -344,6 +355,8 @@ object AnnIndex {
     f.listStatus(p).foreach { s =>
       val marker = new org.apache.hadoop.fs.Path(
         s"${s.getPath}/ann_stats.json")
+      // marker mtime = last ensure-USE (publish refreshes it), so an
+      // artifact another process keeps ensuring stays alive
       val age = now - (if (f.exists(marker))
         f.getFileStatus(marker).getModificationTime
       else s.getModificationTime)

@@ -133,6 +133,53 @@ object Dedup {
     cached
   }
 
+  /** The shared salted-triangular-cell candidate generator behind
+    * [[minhashLsh]] and [[simhashPairs]]: input rows are
+    * ((cellHash, ci, cj), docId) where cellHash identifies the bucket
+    * (band value / signature chunk — pre-hashed to 64 bits so both
+    * operators share one key shape; a hash collision can only ADD
+    * candidates, which the callers' exact verification then rejects)
+    * and (ci, cj), ci ≤ cj, is the triangular salt cell. A doc in
+    * salt group g fans out to cells (g, t≥g) and (t<g, g), so a hot
+    * bucket of m docs yields its m²/2 pairs across S(S+1)/2 tasks
+    * instead of one. Output: order-normalized distinct (doc_a, doc_b).
+    */
+  private def saltedCellPairs(
+      cells: org.apache.spark.sql.Dataset[((Long, Int, Int), Long)],
+      saltCells: Int): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val s = saltCells
+    cells.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val (_, ci, cj) = key
+      val a = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.foreach { case (_, id) =>
+        if (IndexBuilder.saltOf(id, s) == ci) a += id else b += id
+      }
+      if (ci == cj)
+        for {
+          i <- a.indices.iterator; j <- Iterator.range(i + 1, a.length)
+        } yield
+          if (a(i) < a(j)) (a(i), a(j)) else (a(j), a(i))
+      else
+        for { x <- a.iterator; y <- b.iterator }
+          yield if (x < y) (x, y) else (y, x)
+    }.toDF("doc_a", "doc_b").distinct()
+  }
+
+  /** FNV-1a 64 over a cell payload string — the shared cell key. */
+  private def cellHash(payload: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < payload.length) {
+      h ^= payload.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   /** MinHash + LSH near-dup pairs. Signature slot j = min over
     * shingles of the shingle's md5 hex digest ROTATED by 2j chars —
     * ONE digest per shingle plus cheap string rotations (a
@@ -225,27 +272,13 @@ object Dedup {
       .select(col("doc_id"), col("bb.band"), col("bb.bval"))
     // salted triangular cells → candidate pairs (order-normalized)
     val s = math.max(1, saltCells)
-    val cand = banded.as[(Long, Int, String)].flatMap {
-      case (id, band, bval) =>
+    val cand = saltedCellPairs(
+      banded.as[(Long, Int, String)].flatMap { case (id, band, bval) =>
+        val h = cellHash(s"$band|$bval")
         val g = IndexBuilder.saltOf(id, s)
-        Iterator.range(g, s).map(t => ((band, bval, g, t), id)) ++
-          Iterator.range(0, g).map(t => ((band, bval, t, g), id))
-    }.groupByKey(_._1).flatMapGroups { (key, it) =>
-      val (_, _, ci, cj) = key
-      val a = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val b = scala.collection.mutable.ArrayBuffer.empty[Long]
-      it.foreach { case (_, id) =>
-        if (IndexBuilder.saltOf(id, s) == ci) a += id else b += id
-      }
-      if (ci == cj)
-        for {
-          i <- a.indices.iterator; j <- Iterator.range(i + 1, a.length)
-        } yield
-          if (a(i) < a(j)) (a(i), a(j)) else (a(j), a(i))
-      else
-        for { x <- a.iterator; y <- b.iterator }
-          yield if (x < y) (x, y) else (y, x)
-    }.toDF("doc_a", "doc_b").distinct()
+        Iterator.range(g, s).map(t => ((h, g, t), id)) ++
+          Iterator.range(0, g).map(t => ((h, t, g), id))
+      }, s)
     // verify candidates: exact Jaccard over hashed shingle sets
     val out = cand
       .join(hashed.select(col("doc_id").as("doc_a"), col("hs").as("ha")),
@@ -303,29 +336,15 @@ object Dedup {
     val sig = simhashSigs(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val s = math.max(1, saltCells)
-    val cand = sig.as[(Long, String)].flatMap { case (id, h) =>
-      val g = IndexBuilder.saltOf(id, s)
-      (0 until 4).iterator.flatMap { c =>
-        val v = h.substring(4 * c, 4 * c + 4)
-        Iterator.range(g, s).map(t => ((c, v, g, t), id)) ++
-          Iterator.range(0, g).map(t => ((c, v, t, g), id))
-      }
-    }.groupByKey(_._1).flatMapGroups { (key, it) =>
-      val (_, _, ci, cj) = key
-      val a = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val b = scala.collection.mutable.ArrayBuffer.empty[Long]
-      it.foreach { case (_, id) =>
-        if (IndexBuilder.saltOf(id, s) == ci) a += id else b += id
-      }
-      if (ci == cj)
-        for {
-          i <- a.indices.iterator; j <- Iterator.range(i + 1, a.length)
-        } yield
-          if (a(i) < a(j)) (a(i), a(j)) else (a(j), a(i))
-      else
-        for { x <- a.iterator; y <- b.iterator }
-          yield if (x < y) (x, y) else (y, x)
-    }.toDF("doc_a", "doc_b").distinct()
+    val cand = saltedCellPairs(
+      sig.as[(Long, String)].flatMap { case (id, hx) =>
+        val g = IndexBuilder.saltOf(id, s)
+        (0 until 4).iterator.flatMap { c =>
+          val h = cellHash(s"$c|${hx.substring(4 * c, 4 * c + 4)}")
+          Iterator.range(g, s).map(t => ((h, g, t), id)) ++
+            Iterator.range(0, g).map(t => ((h, t, g), id))
+        }
+      }, s)
     cand
       .join(sig.toDF("doc_a", "ha"), "doc_a")
       .join(sig.toDF("doc_b", "hb"), "doc_b")
@@ -431,17 +450,26 @@ object Dedup {
     // hundreds this is the difference between rounds costing seconds
     // and minutes). ~1M edges per partition; capped at the session
     // setting so a genuinely huge graph keeps full width.
+    // Session-conf clamping (same pattern as Streaming.sessionize):
+    // the conf is session-global, so queries planned CONCURRENTLY on
+    // this SparkSession during the loop would compile narrow — the
+    // engine's contract surfaces are single-threaded per session; a
+    // shared-session deployment should wrap clusters() in its own
+    // session. A non-numeric platform setting (e.g. "auto") skips the
+    // clamp instead of throwing.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    val loopParts = math.max(1L, math.min(prevShuffle.toLong,
-      curSig._1 / 1000000L + 1L))
+    val loopParts = prevShuffle.toLongOption.map(p =>
+      math.max(1L, math.min(p, curSig._1 / 1000000L + 1L)))
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-      // with the width already right-sized there is nothing for AQE
-      // to adapt, and its per-stage re-planning pause is the dominant
-      // cost of a round at small graph sizes
-      if (loopParts < prevShuffle.toLong)
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+      loopParts.foreach { lp =>
+        spark.conf.set("spark.sql.shuffle.partitions", lp.toString)
+        // with the width already right-sized there is nothing for AQE
+        // to adapt, and its per-stage re-planning pause is the
+        // dominant cost of a round at small graph sizes
+        if (lp < prevShuffle.toLong)
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+      }
       while (!converged && it < maxIter) {
         val tR = System.nanoTime()
         val next = smallStar(largeStar(cur)).localCheckpoint(false)
@@ -539,7 +567,12 @@ object Dedup {
         var dot = 0.0
         var d = 0
         while (d < xv.length) { dot += xv(d).toDouble * yv(d).toDouble; d += 1 }
-        java.math.BigDecimal.valueOf(dot / (x._3 * y._3))
+        val raw = dot / (x._3 * y._3)
+        // zero-norm vector → NaN cosine: BigDecimal.valueOf(NaN)
+        // throws, and the SQL oracle's NaN row just fails the
+        // threshold — return NaN so the >= filter drops it the same way
+        if (java.lang.Double.isNaN(raw)) Double.NaN
+        else java.math.BigDecimal.valueOf(raw)
           .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
       }
       val within =
