@@ -55,6 +55,30 @@ object OracleSql {
        |FROM sc ORDER BY score DESC, doc_id
        |LIMIT $k OFFSET $offset""".stripMargin
 
+  /** Mirror of [[graft.pipeline.TextOps.snippet]] over the top-k hits
+    * of a BM25 query: token-window highlight around the first
+    * occurrence of any query term (1-based list arithmetic in both
+    * engines).
+    */
+  def bm25Snippet(terms: Seq[String], k: Int, window: Int): String = {
+    val posList = terms.distinct.map(w =>
+      s"coalesce(list_position(t, '$w'), 2147483647)").mkString(", ")
+    s"""${bm25Sc(terms, and = false)},
+       |top AS (SELECT CAST(row_number() OVER (ORDER BY score DESC,
+       |    doc_id) AS BIGINT) AS rank, doc_id
+       |  FROM sc ORDER BY score DESC, doc_id LIMIT $k),
+       |tok AS (SELECT doc_id, $toksExpr AS t FROM documents),
+       |snip AS (SELECT doc_id,
+       |    least($posList) AS pos, t FROM tok)
+       |SELECT top.rank, top.doc_id,
+       |  CASE WHEN pos = 2147483647 THEN ''
+       |       ELSE array_to_string(
+       |         t[greatest(pos - $window, 1) : pos + $window], ' ')
+       |  END AS snippet
+       |FROM top JOIN snip USING (doc_id)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Facets computed over the RESULT SET of a top-k query (the
     * reference serves facets over the filtered hits, not the corpus).
     */

@@ -230,6 +230,17 @@ object SparkEntry {
       // bounds internally target depth offset+k
       EntryIndex.searchDf(s, d, "data join", 10, Searcher.Or,
         offset = 10)),
+    "ft_snippet" -> ((s, d) =>
+      // serve-path highlight: token-window snippet around the first
+      // query-term hit, over the ENGINE's top-k result (rank from the
+      // index, snippet from the stored text — the standard two-phase
+      // serve: ranked ids first, then hydrate only k docs)
+      EntryIndex.searchDf(s, d, "data join", 10, Searcher.Or)
+        .join(t(s, d, "documents").select(col("doc_id"),
+          TextOps.snippet(col("text"), Seq("data", "join"), 4)
+            .as("snippet")), "doc_id")
+        .select(col("rank"), col("doc_id"), col("snippet"))
+        .orderBy("rank")),
     "ft_facet_topk" -> ((s, d) =>
       // facets over the RESULT SET of a query (reference serve-path
       // shape: facet the filtered hits, not the corpus)
@@ -529,6 +540,8 @@ object SparkEntry {
     "ft_bm25_page2" -> OracleSql.bm25(Seq("data", "join"), 10,
       and = false, offset = 10),
     "ft_facet_topk" -> OracleSql.bm25FacetLang(Seq("data", "join"), 20),
+    "ft_snippet" -> OracleSql.bm25Snippet(Seq("data", "join"), 10,
+      window = 4),
     "w2_page2" -> ("SELECT event_id, round(value,4) AS value_r FROM events " +
       "ORDER BY value DESC, event_id LIMIT 15 OFFSET 15"),
     "ft_langid" -> OracleSql.langId,

@@ -51,6 +51,25 @@ object TextOps {
       stopR * lit(0.3) + uniqR * lit(0.2), 4)
   }
 
+  /** Token-window snippet around the FIRST occurrence of any query
+    * term: the serve-path "highlight" every search UI needs. Pure
+    * codegen'd column arithmetic (array_position / slice), 1-based
+    * like the DuckDB mirror; empty string when no term occurs.
+    */
+  def snippet(text: Column, terms: Seq[String], window: Int): Column = {
+    val t = toks(text)
+    val far = lit(Int.MaxValue)
+    // array_position: 1-based index, 0 when absent
+    val pos = least(terms.distinct.map { w =>
+      val p = array_position(t, w)
+      when(p === 0, far).otherwise(p)
+    }: _*)
+    val start = greatest(pos - window, lit(1))
+    when(pos === far, lit(""))
+      .otherwise(concat_ws(" ",
+        slice(t, start, pos + window - start + lit(1))))
+  }
+
   def tokenCount(text: Column): Column = size(toks(text)).cast("long")
 
   /** Whitespace token count (split on \s+, empties dropped). */

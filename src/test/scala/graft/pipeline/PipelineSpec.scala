@@ -41,6 +41,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(0).getDouble(2) == 0.5)
   }
 
+  test("snippet: token window around first query-term hit") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c data e f g h"),      // interior hit, window 2
+      (2L, "data x y z"),              // hit at position 1 (left clamp)
+      (3L, "nothing relevant here"),   // no hit → empty
+      (4L, "x join y data z")          // min position across terms wins
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextOps.snippet(col("text"), Seq("data", "join"), 2).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "b c data e f")
+    assert(got(2L) == "data x y")
+    assert(got(3L) == "")
+    assert(got(4L) == "x join y data") // window around 'join' (pos 2)
+  }
+
   test("simhash: identical text → identical hash; near → close") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val t1 = (1 to 60).map(i => s"tok$i").mkString(" ")
