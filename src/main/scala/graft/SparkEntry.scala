@@ -230,6 +230,26 @@ object SparkEntry {
       // bounds internally target depth offset+k
       EntryIndex.searchDf(s, d, "data join", 10, Searcher.Or,
         offset = 10)),
+    "ft_mlt" -> ((s, d) => {
+      // more-like-this: rank docs by how many of the seed doc's
+      // rarest shared terms they contain (Lucene MLT shape). Rare =
+      // low df but >= 2 (df-1 terms are unique to the seed and can
+      // match nothing); the tiny seed-term set broadcasts, so the
+      // corpus-side work is one df aggregation + one broadcast probe
+      val dt = docToks(s, d)
+        .select(col("doc_id"), explode(array_distinct(col("toks")))
+          .as("term"))
+      val dfs = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      val seed = dt.filter(col("doc_id") === 42)
+        .join(dfs, "term")
+        .filter(col("df") >= 2)
+        .orderBy(col("df"), col("term")).limit(8)
+        .select(col("term"))
+      dt.join(broadcast(seed), "term")
+        .filter(col("doc_id") =!= 42)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
+        .orderBy(desc("shared"), col("doc_id")).limit(10)
+    }),
     "ft_snippet" -> ((s, d) =>
       // serve-path highlight: token-window snippet around the first
       // query-term hit, over the ENGINE's top-k result (rank from the
@@ -542,6 +562,14 @@ object SparkEntry {
     "ft_facet_topk" -> OracleSql.bm25FacetLang(Seq("data", "join"), 20),
     "ft_snippet" -> OracleSql.bm25Snippet(Seq("data", "join"), 10,
       window = 4),
+    "ft_mlt" -> (s"WITH dt AS (SELECT DISTINCT doc_id, unnest(" +
+      s"${OracleSql.toksExpr}) AS term FROM documents), " +
+      "dfs AS (SELECT term, count(*) AS df FROM dt GROUP BY term), " +
+      "seed AS (SELECT dt.term FROM dt JOIN dfs USING(term) " +
+      "WHERE doc_id = 42 AND df >= 2 ORDER BY df, dt.term LIMIT 8) " +
+      "SELECT doc_id, count(*) AS shared FROM dt JOIN seed USING(term) " +
+      "WHERE doc_id <> 42 GROUP BY doc_id " +
+      "ORDER BY shared DESC, doc_id LIMIT 10"),
     "w2_page2" -> ("SELECT event_id, round(value,4) AS value_r FROM events " +
       "ORDER BY value DESC, event_id LIMIT 15 OFFSET 15"),
     "ft_langid" -> OracleSql.langId,
