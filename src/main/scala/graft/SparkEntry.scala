@@ -230,6 +230,30 @@ object SparkEntry {
       // bounds internally target depth offset+k
       EntryIndex.searchDf(s, d, "data join", 10, Searcher.Or,
         offset = 10)),
+    "ft_fuzzy" -> ((s, d) =>
+      // spellcheck / fuzzy term lookup: dictionary terms within edit
+      // distance 2 of a misspelled query term, ranked by (distance,
+      // corpus df desc, term) — the "did you mean" serve feature. The
+      // dictionary (distinct terms + df) is orders of magnitude
+      // smaller than the corpus; at 10^9 terms the distance filter
+      // runs as a scan over the terms artifact, prunable by length
+      // bands (|len(term) − len(q)| ≤ maxDist is a free pre-filter)
+      docToks(s, d).select(explode(col("toks")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cf"))
+        .filter(abs(length(col("term")) - lit("smarl".length)) <= 3)
+        .withColumn("dist",
+          levenshtein(col("term"), lit("smarl")).cast("long"))
+        .filter(col("dist") <= 3)
+        .orderBy(col("dist"), desc("cf"), col("term")).limit(10)),
+    "ft_prefix" -> ((s, d) =>
+      // autocomplete: dictionary terms under a prefix ranked by
+      // collection frequency — a range scan on a term-sorted
+      // dictionary at scale (here the relational formulation over
+      // the same tf base the oracle mirrors)
+      docToks(s, d).select(explode(col("toks")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cf"))
+        .filter(col("term").startsWith("s"))
+        .orderBy(desc("cf"), col("term")).limit(10)),
     "ft_mlt" -> ((s, d) => {
       // more-like-this: rank docs by how many of the seed doc's
       // rarest shared terms they contain (Lucene MLT shape). Rare =
@@ -562,6 +586,17 @@ object SparkEntry {
     "ft_facet_topk" -> OracleSql.bm25FacetLang(Seq("data", "join"), 20),
     "ft_snippet" -> OracleSql.bm25Snippet(Seq("data", "join"), 10,
       window = 4),
+    "ft_fuzzy" -> (s"SELECT term, cf, dist FROM (SELECT term, " +
+      "CAST(count(*) AS BIGINT) AS cf, " +
+      "CAST(levenshtein(term, 'smarl') AS BIGINT) AS dist " +
+      s"FROM (SELECT unnest(${OracleSql.toksExpr}) AS term " +
+      "FROM documents) GROUP BY term) " +
+      "WHERE abs(length(term) - 5) <= 3 AND dist <= 3 " +
+      "ORDER BY dist, cf DESC, term LIMIT 10"),
+    "ft_prefix" -> (s"SELECT term, CAST(count(*) AS BIGINT) AS cf " +
+      s"FROM (SELECT unnest(${OracleSql.toksExpr}) AS term " +
+      "FROM documents) WHERE term LIKE 's%' GROUP BY term " +
+      "ORDER BY cf DESC, term LIMIT 10"),
     "ft_mlt" -> (s"WITH dt AS (SELECT DISTINCT doc_id, unnest(" +
       s"${OracleSql.toksExpr}) AS term FROM documents), " +
       "dfs AS (SELECT term, count(*) AS df FROM dt GROUP BY term), " +
