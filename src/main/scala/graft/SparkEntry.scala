@@ -232,7 +232,7 @@ object SparkEntry {
         offset = 10)),
     "ft_fuzzy" -> ((s, d) =>
       // spellcheck / fuzzy term lookup: dictionary terms within edit
-      // distance 2 of a misspelled query term, ranked by (distance,
+      // distance 3 of a misspelled query term, ranked by (distance,
       // corpus df desc, term) — the "did you mean" serve feature. The
       // dictionary (distinct terms + df) is orders of magnitude
       // smaller than the corpus; at 10^9 terms the distance filter

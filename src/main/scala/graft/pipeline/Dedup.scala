@@ -137,9 +137,12 @@ object Dedup {
     * [[minhashLsh]] and [[simhashPairs]]: input rows are
     * ((cellHash, ci, cj), docId) where cellHash identifies the bucket
     * (band value / signature chunk — pre-hashed to 64 bits so both
-    * operators share one key shape; a hash collision can only ADD
-    * candidates, which the callers' exact verification then rejects)
-    * and (ci, cj), ci ≤ cj, is the triangular salt cell. A doc in
+    * operators share one key shape; a 64-bit collision, ~2⁻⁶⁴ per
+    * bucket pair, could merge unrelated buckets and add a candidate
+    * the exact verify then scores on its own merits — a
+    * PROBABILISTIC, not absolute, equivalence to joining on the raw
+    * bucket value) and (ci, cj), ci ≤ cj, is the triangular salt
+    * cell. A doc in
     * salt group g fans out to cells (g, t≥g) and (t<g, g), so a hot
     * bucket of m docs yields its m²/2 pairs across S(S+1)/2 tasks
     * instead of one. Output: order-normalized distinct (doc_a, doc_b).
@@ -169,16 +172,7 @@ object Dedup {
   }
 
   /** FNV-1a 64 over a cell payload string — the shared cell key. */
-  private def cellHash(payload: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < payload.length) {
-      h ^= payload.charAt(i)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
-  }
+  private def cellHash(payload: String): Long = graft.Det.fnv1a(payload)
 
   /** MinHash + LSH near-dup pairs. Signature slot j = min over
     * shingles of the shingle's md5 hex digest ROTATED by 2j chars —

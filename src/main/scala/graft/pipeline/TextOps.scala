@@ -60,10 +60,17 @@ object TextOps {
     val t = toks(text)
     val far = lit(Int.MaxValue)
     // array_position: 1-based index, 0 when absent
-    val pos = least(terms.distinct.map { w =>
+    val ps = terms.distinct.map { w =>
       val p = array_position(t, w)
       when(p === 0, far).otherwise(p)
-    }: _*)
+    }
+    // Spark's least() demands >= 2 children — a one-term highlight
+    // (the commonest serve case) must not crash at analysis time
+    val pos = ps match {
+      case Seq() => far
+      case Seq(one) => one
+      case many => least(many: _*)
+    }
     val start = greatest(pos - window, lit(1))
     when(pos === far, lit(""))
       .otherwise(concat_ws(" ",

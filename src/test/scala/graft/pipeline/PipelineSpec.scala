@@ -56,6 +56,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L) == "data x y")
     assert(got(3L) == "")
     assert(got(4L) == "x join y data") // window around 'join' (pos 2)
+    // single-term query (least() needs >= 2 children — must not
+    // crash at analysis time) and duplicate terms collapsing to one
+    val one = df.select(col("doc_id"),
+      TextOps.snippet(col("text"), Seq("data", "data"), 1).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(one(1L) == "c data e")
+    assert(one(3L) == "")
   }
 
   test("simhash: identical text → identical hash; near → close") {
