@@ -85,6 +85,15 @@ class PlanSpec extends AnyFunSuite {
       s"cartesian product crept back into:\n$plan")
   }
 
+  test("more-like-this probes the corpus with a broadcast seed") {
+    val plan = SparkEntry.queries("ft_mlt")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the tiny seed-term set must broadcast — a shuffle join here
+    // would reshuffle the whole corpus token table per query
+    assert(plan.contains("BroadcastHashJoin"),
+      s"MLT seed probe not broadcast:\n$plan")
+  }
+
   test("IVF assignment plans as partial aggregation, not a window") {
     import spark.implicits._
     val vecs = (0 until 60).map { i =>
