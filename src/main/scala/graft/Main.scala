@@ -210,6 +210,78 @@ object Main {
         println(s"compacted ${gens.size} generations → $outDir: " +
           s"docs=${stats.numDocs} terms=${stats.numTerms}")
 
+      case "export" =>
+        // bulk retrieval: every doc matching ALL query terms, with
+        // url+text, chunk-committed and resumable (formats: parquet,
+        // jsonl, csv)
+        import org.apache.spark.sql.functions.col
+        val dirs = args(1).split(",").toSeq
+        val src = readPages(spark, args(2)).toDF()
+          .select(col("url"), col("text"))
+        val outDir = args(3)
+        val format = args(4)
+        val query = args.drop(5).mkString(" ")
+        val res = Export.dumpQuery(spark, dirs, query, src, outDir,
+          format = format)
+        println(s"exported ${res.rows} rows in ${res.chunks} chunks " +
+          s"(${res.skipped} resumed) as $format -> $outDir")
+
+      case "dedup" =>
+        // near-dup pipeline end to end: minhash-LSH pairs → connected
+        // components → one keeper per cluster; optional deduped-corpus
+        // parquet output
+        import org.apache.spark.sql.functions.{col, xxhash64}
+        val src = readPages(spark, args(1)).toDF()
+          .withColumn("doc_id", xxhash64(col("url")))
+        val pairs = pipeline.Dedup.minhashLsh(src, "doc_id", "text",
+          16, 4, 0.5)
+        val kept = pipeline.Dedup.dedupCorpus(src, "doc_id", pairs,
+          "doc_a", "doc_b")
+        val total = src.count()
+        val nPairs = pairs.count()
+        val keptN =
+          if (args.length > 2) {
+            val out = kept.drop("doc_id")
+            out.write.mode("overwrite").parquet(args(2))
+            spark.read.parquet(args(2)).count()
+          } else kept.count()
+        println(s"dedup: $total docs, $nPairs near-dup pairs, " +
+          s"kept $keptN (${total - keptN} dropped)" +
+          (if (args.length > 2) s" -> ${args(2)}" else ""))
+
+      case "annbuild" =>
+        // persisted ANN artifact over an embeddings table
+        // annbuild <emb.parquet> <dir> ivf|lsh
+        val emb = spark.read.parquet(args(1))
+        val dir = args(2)
+        val tag = graft.index.IndexPaths.contentTag(spark, args(1))
+        args(3) match {
+          case "ivf" => pipeline.AnnIndex.buildIvf(emb, "vec_id",
+            "embedding", dir, numCentroids = 16, lineage = tag)
+          case "lsh" => pipeline.AnnIndex.buildLsh(emb, "vec_id",
+            "embedding", dir, numPlanes = 6, numTables = 4, seed = 42L,
+            lineage = tag)
+          case k => throw new IllegalArgumentException(s"ann kind: $k")
+        }
+        println(s"built ${args(3)} artifact -> $dir")
+
+      case "annsearch" =>
+        // annsearch <dir> ivf|lsh <emb.parquet> <queryId> <k>
+        val dir = args(1)
+        val emb = spark.read.parquet(args(3))
+        val qid = args(4).toLong
+        val k = args(5).toInt
+        val q = pipeline.AnnIndex.lookupVec(emb, "vec_id", "embedding",
+          qid)
+        val rows = (args(2) match {
+          case "ivf" => pipeline.AnnIndex.ivfTopK(spark, dir, q, qid, k,
+            probes = 4)
+          case "lsh" => pipeline.AnnIndex.lshTopK(spark, dir, q, qid, k)
+          case x => throw new IllegalArgumentException(s"ann kind: $x")
+        }).collect()
+        rows.foreach(r => println(f"${r.getLong(0)}%8d  ${r.getDouble(1)}%.4f"))
+        println(s"${rows.length} neighbors of vec $qid (${args(2)})")
+
       case other =>
         System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
     }
@@ -221,5 +293,9 @@ object Main {
       "[buckets] [saltTarget] | search <indexDir[,delta...]> <k> <query...> " +
       "| phrase <indexDir[,delta...]> <word...> | queryset <indexDir> <k> " +
       "| delta <src> <baseDirs> <deltaDir> | compact <gens> <outDir> " +
-      "| health <src> [stateDir]")
+      "| health <src> [stateDir] " +
+      "| export <indexDirs> <pagesSrc> <outDir> <format> <query...> " +
+      "| dedup <pagesSrc> [keptOutDir] " +
+      "| annbuild <emb.parquet> <dir> ivf|lsh " +
+      "| annsearch <dir> ivf|lsh <emb.parquet> <queryId> <k>")
 }
