@@ -248,10 +248,10 @@ object Bench {
       val normMedian = median(normAll)
       val dpsNJson = perRep.map(r => f"${r._1._1}%.1f").mkString("[", ",", "]")
       val dps4NJson = perRep.map(r => f"${r._2._1}%.1f").mkString("[", ",", "]")
-      val repsJson = perRep.map(r => f"${r._3}%.3f").mkString("[", ",", "]")
-      val ceilJson = perRep.map(r => f"${r._4}%.3f").mkString("[", ",", "]")
-      val normJson = normAll.map(v => f"$v%.3f").mkString("[", ",", "]")
-      scalingJson = f""","scaling":{"docs":$sDocs,"cores_N":$nCpu,"cores_4N":$n4Cpu,"docs_per_sec_N":$dpsN%.1f,"docs_per_sec_4N":$dps4N%.1f,"efficiency":$eff%.3f,"per_rep_docs_per_sec_N":$dpsNJson,"per_rep_docs_per_sec_4N":$dps4NJson,"per_rep_efficiency":$repsJson,"per_rep_machine_ceiling":$ceilJson,"per_rep_normalized":$normJson,"normalized_median":$normMedian%.3f}"""
+      val repsJson = perRep.map(r => f"${r._3}%.4f").mkString("[", ",", "]")
+      val ceilJson = perRep.map(r => f"${r._4}%.4f").mkString("[", ",", "]")
+      val normJson = normAll.map(v => f"$v%.4f").mkString("[", ",", "]")
+      scalingJson = f""","scaling":{"docs":$sDocs,"cores_N":$nCpu,"cores_4N":$n4Cpu,"docs_per_sec_N":$dpsN%.1f,"docs_per_sec_4N":$dps4N%.1f,"efficiency":$eff%.4f,"per_rep_docs_per_sec_N":$dpsNJson,"per_rep_docs_per_sec_4N":$dps4NJson,"per_rep_efficiency":$repsJson,"per_rep_machine_ceiling":$ceilJson,"per_rep_normalized":$normJson,"normalized_median":$normMedian%.3f}"""
       val sLast = session(nCpu)
       writeScalingReport(sLast, sDocs, nCpu, n4Cpu, dpsN, secsN, dps4N,
         secs4N, eff, perRep.map(r => (r._3, r._4, r._5)), p50, p95)
@@ -282,15 +282,15 @@ object Bench {
     // would otherwise eat the table's leading pipe
     val repRows = perRep.zipWithIndex
       .map { case ((raw, ceil, norm), i) =>
-        f"| $i | $raw%.3f | $ceil%.3f | $norm%.3f |" }
+        f"| $i | $raw%.4f | $ceil%.4f | $norm%.4f |" }
       .mkString("\n         |")
     val gateLine =
-      if (eff >= 0.8) f"PASS on raw ($eff%.3f ≥ 0.8)"
+      if (eff >= 0.8) f"PASS on raw ($eff%.4f ≥ 0.8)"
       else if (perRep.forall(_._3 >= 0.8))
-        f"PASS on normalized (raw $eff%.3f in a host-throttled window — " +
+        f"PASS on normalized (raw $eff%.4f in a host-throttled window — " +
           f"ceilings ${perRep.map(r => f"${r._2}%.2f").mkString("/")}; " +
           "every rep's normalized ≥ 0.8)"
-      else f"FAIL (raw $eff%.3f, and not every rep normalizes ≥ 0.8)"
+      else f"FAIL (raw $eff%.4f, and not every rep normalizes ≥ 0.8)"
     val md =
       f"""# BENCH — scaling evidence (north rule)
          |
@@ -335,7 +335,7 @@ object Bench {
          |
          || Metric | Value |
          ||---|---|
-         || Engine scaling efficiency, median-throughput ratio (median tp_4N / median tp_N) / 4 | **$eff%.3f** (target ≥ 0.8 raw) |
+         || Engine scaling efficiency, median-throughput ratio (median tp_4N / median tp_N) / 4 | **$eff%.4f** (target ≥ 0.8 raw) |
          |
          |Gate = raw ≥ 0.8 OR every rep's normalized ≥ 0.8 (normalized
          |= min(1.0, raw / adjacent-control ceiling) — it can only
@@ -354,8 +354,8 @@ object Bench {
     // longitudinal record: BASELINE.md is overwritten per run, so keep
     // every run's headline — reporting only the best window would be
     // the round-1 integrity problem again
-    val hist = f"""{"eff":$eff%.3f,"reps_raw":[${perRep.map(r => f"${r._1}%.3f").mkString(",")}],""" +
-      f""""reps_ceiling":[${perRep.map(r => f"${r._2}%.3f").mkString(",")}],""" +
+    val hist = f"""{"eff":$eff%.4f,"reps_raw":[${perRep.map(r => f"${r._1}%.4f").mkString(",")}],""" +
+      f""""reps_ceiling":[${perRep.map(r => f"${r._2}%.4f").mkString(",")}],""" +
       f""""dps_N":$dpsN%.1f,"dps_4N":$dps4N%.1f,"docs":$nDocs,"ts":${System.currentTimeMillis()}}""" + "\n"
     val histPath = java.nio.file.Paths.get("/root/repo/BENCH/history.jsonl")
     java.nio.file.Files.write(histPath, hist.getBytes("UTF-8"),
@@ -395,10 +395,10 @@ object Bench {
       val note =
         f"""
            |Cross-run headline over ${runs.size} recorded $nDocs-doc
-           |runs: median raw efficiency **${med(runs.map(_._1))}%.3f**,
-           |median within-run normalized **${med(runs.map(_._2))}%.3f**;
+           |runs: median raw efficiency **${med(runs.map(_._1))}%.4f**,
+           |median within-run normalized **${med(runs.map(_._2))}%.4f**;
            |trailing-${last5.size}-run median raw
-           |**${med(last5.map(_._1))}%.3f**. Single windows swing with
+           |**${med(last5.map(_._1))}%.4f**. Single windows swing with
            |host throttling — most samples land in throttled windows,
            |which raw absorbs and the adjacent-control normalization
            |corrects for, clamped so it never inflates past a calm

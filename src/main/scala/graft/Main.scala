@@ -227,26 +227,42 @@ object Main {
           s"(${res.skipped} resumed) as $format -> $outDir")
 
       case "dedup" =>
-        // near-dup pipeline end to end: minhash-LSH pairs → connected
-        // components → one keeper per cluster; optional deduped-corpus
-        // parquet output
-        import org.apache.spark.sql.functions.{col, xxhash64}
-        val src = readPages(spark, args(1)).toDF()
+        // the full dedup ladder: EXACT pass first (identical text —
+        // url-hash ids alone would collide identical rows into one id
+        // and hide them from the pair stage), then minhash-LSH pairs →
+        // connected components → one keeper per near-dup cluster;
+        // optional deduped-corpus parquet output
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, md5, row_number, xxhash64}
+        val raw = readPages(spark, args(1)).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val total = raw.count()
+        // exact keeper = min url per identical text (deterministic)
+        val w = Window.partitionBy(col("fp")).orderBy(col("url"))
+        val src = raw.withColumn("fp", md5(col("text")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("fp", "rn")
           .withColumn("doc_id", xxhash64(col("url")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val exactKept = src.count()
         val pairs = pipeline.Dedup.minhashLsh(src, "doc_id", "text",
           16, 4, 0.5)
-        val kept = pipeline.Dedup.dedupCorpus(src, "doc_id", pairs,
-          "doc_a", "doc_b")
-        val total = src.count()
         val nPairs = pairs.count()
+        val kept = pipeline.Dedup.dedupCorpus(src, "doc_id", pairs,
+          "doc_a", "doc_b").drop("doc_id")
         val keptN =
           if (args.length > 2) {
-            val out = kept.drop("doc_id")
-            out.write.mode("overwrite").parquet(args(2))
-            spark.read.parquet(args(2)).count()
+            // row count observed during the write — no re-read job
+            val obs = new org.apache.spark.sql.Observation()
+            kept.observe(obs, org.apache.spark.sql.functions
+              .count(org.apache.spark.sql.functions.lit(1)).as("n"))
+              .write.mode("overwrite").parquet(args(2))
+            obs.get("n").asInstanceOf[Long]
           } else kept.count()
-        println(s"dedup: $total docs, $nPairs near-dup pairs, " +
-          s"kept $keptN (${total - keptN} dropped)" +
+        raw.unpersist(); src.unpersist()
+        println(s"dedup: $total docs, ${total - exactKept} exact dups " +
+          s"dropped, $nPairs near-dup pairs, kept $keptN " +
+          s"(${total - keptN} total dropped)" +
           (if (args.length > 2) s" -> ${args(2)}" else ""))
 
       case "annbuild" =>
@@ -271,6 +287,18 @@ object Main {
         val emb = spark.read.parquet(args(3))
         val qid = args(4).toLong
         val k = args(5).toInt
+        // the artifact records the source it was built from; serving
+        // it against a DIFFERENT (e.g. regenerated) table would score
+        // stale vectors and print confidently wrong neighbors
+        val stats = graft.index.IndexPaths.parseFlatJson(
+          graft.index.IndexPaths.readString(spark, s"$dir/ann_stats.json"))
+        val srcTag = graft.index.IndexPaths.contentTag(spark, args(3))
+        require(stats.get("lineage").exists(_.endsWith(s"src=$srcTag")),
+          s"artifact at $dir was built from a different embeddings " +
+            s"table than ${args(3)} — rebuild with annbuild")
+        val qRow = emb.filter(org.apache.spark.sql.functions
+          .col("vec_id") === qid).head(1)
+        require(qRow.nonEmpty, s"vec_id $qid not found in ${args(3)}")
         val q = pipeline.AnnIndex.lookupVec(emb, "vec_id", "embedding",
           qid)
         val rows = (args(2) match {

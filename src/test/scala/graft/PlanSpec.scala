@@ -89,8 +89,12 @@ class PlanSpec extends AnyFunSuite {
     val plan = SparkEntry.queries("ft_mlt")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
     // the tiny seed-term set must broadcast — a shuffle join here
-    // would reshuffle the whole corpus token table per query
-    assert(plan.contains("BroadcastHashJoin"),
+    // would reshuffle the whole corpus token table per query. A bare
+    // BroadcastHashJoin check could be satisfied by the OTHER join in
+    // the plan (seed-building dt⋈dfs), so also require that no join
+    // regressed to sort-merge anywhere in this operator
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"),
       s"MLT seed probe not broadcast:\n$plan")
   }
 
