@@ -25,6 +25,14 @@ object EntryIndex {
 
   def ensure(spark: SparkSession, dir: String): String = synchronized {
     val idx = indexDirFor(spark, dir)
+    // cache dirs from RETIRED key versions can never be read again —
+    // every version bump otherwise leaves its indexes in /tmp forever
+    val parent = new org.apache.hadoop.fs.Path("/tmp/graft_entry_index")
+    val pfs = IndexPaths.fs(spark, parent.toString)
+    if (pfs.exists(parent))
+      pfs.listStatus(parent)
+        .filterNot(_.getPath.getName.startsWith("v10_"))
+        .foreach(s => pfs.delete(s.getPath, true))
     if (!IndexPaths.exists(spark, s"$idx/stats.json") ||
         new index.CheckpointStore(spark, idx).list()
           .count(_.stage == "segments") < 2) {
