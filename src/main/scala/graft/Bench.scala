@@ -251,7 +251,7 @@ object Bench {
       val repsJson = perRep.map(r => f"${r._3}%.4f").mkString("[", ",", "]")
       val ceilJson = perRep.map(r => f"${r._4}%.4f").mkString("[", ",", "]")
       val normJson = normAll.map(v => f"$v%.4f").mkString("[", ",", "]")
-      scalingJson = f""","scaling":{"docs":$sDocs,"cores_N":$nCpu,"cores_4N":$n4Cpu,"docs_per_sec_N":$dpsN%.1f,"docs_per_sec_4N":$dps4N%.1f,"efficiency":$eff%.4f,"per_rep_docs_per_sec_N":$dpsNJson,"per_rep_docs_per_sec_4N":$dps4NJson,"per_rep_efficiency":$repsJson,"per_rep_machine_ceiling":$ceilJson,"per_rep_normalized":$normJson,"normalized_median":$normMedian%.3f}"""
+      scalingJson = f""","scaling":{"docs":$sDocs,"cores_N":$nCpu,"cores_4N":$n4Cpu,"docs_per_sec_N":$dpsN%.1f,"docs_per_sec_4N":$dps4N%.1f,"efficiency":$eff%.4f,"per_rep_docs_per_sec_N":$dpsNJson,"per_rep_docs_per_sec_4N":$dps4NJson,"per_rep_efficiency":$repsJson,"per_rep_machine_ceiling":$ceilJson,"per_rep_normalized":$normJson,"normalized_median":$normMedian%.4f}"""
       val sLast = session(nCpu)
       writeScalingReport(sLast, sDocs, nCpu, n4Cpu, dpsN, secsN, dps4N,
         secs4N, eff, perRep.map(r => (r._3, r._4, r._5)), p50, p95)

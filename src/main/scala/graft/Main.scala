@@ -297,10 +297,11 @@ object Main {
           s"artifact at $dir was built from a different embeddings " +
             s"table than ${args(3)} — rebuild with annbuild")
         val qRow = emb.filter(org.apache.spark.sql.functions
-          .col("vec_id") === qid).head(1)
+          .col("vec_id") === qid)
+          .select(org.apache.spark.sql.functions.col("embedding"))
+          .head(1)
         require(qRow.nonEmpty, s"vec_id $qid not found in ${args(3)}")
-        val q = pipeline.AnnIndex.lookupVec(emb, "vec_id", "embedding",
-          qid)
+        val q = qRow.head.getSeq[Float](0)
         val rows = (args(2) match {
           case "ivf" => pipeline.AnnIndex.ivfTopK(spark, dir, q, qid, k,
             probes = 4)

@@ -34,6 +34,19 @@ object Streaming {
     val sfs = graft.index.IndexPaths.fs(spark, dir)
     val h = graft.index.IndexPaths.contentTag(spark, srcPath.toString)
     val out = s"/tmp/graft_stream_src/$h"
+    // stale-key sweep (the retired-cache rule): copies whose staged
+    // file is old belong to retired keys or regenerated sources and
+    // can never be read again — age-based, so concurrently-staged
+    // OTHER tables (different sf dirs in one session) are untouched
+    val root = new org.apache.hadoop.fs.Path("/tmp/graft_stream_src")
+    val rfs = graft.index.IndexPaths.fs(spark, root.toString)
+    if (rfs.exists(root)) {
+      val now = System.currentTimeMillis()
+      rfs.listStatus(root)
+        .filter(s => s.getPath.getName != h &&
+          now - s.getModificationTime > 6L * 3600 * 1000)
+        .foreach(s => rfs.delete(s.getPath, true))
+    }
     val fin = new org.apache.hadoop.fs.Path(s"$out/events.parquet")
     if (!graft.index.IndexPaths.exists(spark, fin.toString)) {
       val fs = graft.index.IndexPaths.fs(spark, out)

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.index.{Checkpoint, CheckpointStore, IndexPaths}
+import graft.index.IndexPaths
 
 /** Persisted approximate-nearest-neighbor index artifacts.
   *
@@ -22,9 +22,11 @@ import graft.index.{Checkpoint, CheckpointStore, IndexPaths}
   *   <dir>/buckets/t=N/bkt=M/   (vid)         LSH: one dir per
   *                                            (table, bucket)
   *   <dir>/vecs/                (vid, vec)    LSH: vector store
-  *   <dir>/_checkpoints/        per-stage commits, lineage-fenced
-  *   <dir>/ann_stats.json       params + counts; written LAST — the
-  *                              commit marker serve paths require
+  *   <dir>/ann_stats.json       params + counts + lineage; written
+  *                              LAST — the single commit marker serve
+  *                              paths require (artifact rebuilds are
+  *                              all-or-nothing: cheap relative to the
+  *                              index they accelerate)
   * }}}
   *
   * A query then touches ONLY the probed partitions: `probes` of
@@ -70,8 +72,6 @@ object AnnIndex {
     // stale or partial artifact: rebuild from scratch (the marker is
     // only written after every stage commits)
     IndexPaths.delete(spark, dir)
-    val ckpt = new CheckpointStore(spark, dir)
-    val t0 = System.currentTimeMillis()
     // headOption: an empty corpus commits an empty artifact (dims 0)
     // instead of crashing after the old artifact was already deleted
     val dims = emb.select(size(col(vecCol))).head(1)
@@ -79,9 +79,6 @@ object AnnIndex {
     val cents = emb.filter(col(idCol) < numCentroids)
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
     cents.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
-    ckpt.commit(Checkpoint("ann", "ann_centroids", 0, "COMPLETE",
-      numCentroids.toLong, IndexPaths.dirBytes(spark, s"$dir/centroids"),
-      line, t0, System.currentTimeMillis()))
     val sims = emb.select(col(idCol).cast("long").as("vid"),
         col(vecCol).as("vec"))
       .crossJoin(broadcast(cents))
@@ -100,9 +97,6 @@ object AnnIndex {
       .write.mode(SaveMode.Overwrite).partitionBy("cid")
       .parquet(s"$dir/lists")
     val n = obs.get("n").asInstanceOf[Long]
-    ckpt.commit(Checkpoint("ann", "ann_lists", 0, "COMPLETE", n,
-      IndexPaths.dirBytes(spark, s"$dir/lists"),
-      line, t0, System.currentTimeMillis()))
     IndexPaths.writeString(spark, statsPath(dir),
       s"""{"kind":"ivf","numCentroids":$numCentroids,"numVecs":$n,""" +
         s""""dims":$dims,"lineage":"$line"}""")
@@ -160,8 +154,6 @@ object AnnIndex {
     val line = s"lsh;p=$numPlanes;t=$numTables;s=$seed;src=$lineage"
     if (resume && committed(spark, dir, line)) return
     IndexPaths.delete(spark, dir)
-    val ckpt = new CheckpointStore(spark, dir)
-    val t0 = System.currentTimeMillis()
     // headOption: empty corpus → empty committed artifact, not a
     // crash that leaves no artifact at all (buildIvf same rule)
     val dims = emb.select(size(col(vecCol))).head(1)
@@ -173,9 +165,6 @@ object AnnIndex {
     vecs.observe(vObs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/vecs")
     val nVecs = vObs.get("n").asInstanceOf[Long]
-    ckpt.commit(Checkpoint("ann", "ann_vecs", 0, "COMPLETE", nVecs,
-      IndexPaths.dirBytes(spark, s"$dir/vecs"),
-      line, t0, System.currentTimeMillis()))
     val nT = numTables
     val np = numPlanes
     val sd = seed
@@ -196,9 +185,6 @@ object AnnIndex {
       .repartition(col("t"), col("bkt"))
       .write.mode(SaveMode.Overwrite).partitionBy("t", "bkt")
       .parquet(s"$dir/buckets")
-    ckpt.commit(Checkpoint("ann", "ann_buckets", 0, "COMPLETE",
-      nVecs * nT, IndexPaths.dirBytes(spark, s"$dir/buckets"),
-      line, t0, System.currentTimeMillis()))
     IndexPaths.writeString(spark, statsPath(dir),
       s"""{"kind":"lsh","numPlanes":$numPlanes,"numTables":$numTables,""" +
         s""""seed":$seed,"dims":$dims,"numVecs":$nVecs,""" +
