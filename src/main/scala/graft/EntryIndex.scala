@@ -23,16 +23,47 @@ object EntryIndex {
     s"/tmp/graft_entry_index/v10_" +
       IndexPaths.contentTag(spark, s"$dir/documents.parquet")
 
-  def ensure(spark: SparkSession, dir: String): String = synchronized {
-    val idx = indexDirFor(spark, dir)
-    // cache dirs from RETIRED key versions can never be read again —
-    // every version bump otherwise leaves its indexes in /tmp forever
+  /** Cache dirs older than this (by last-use, see the sweep) are
+    * reclaimed — covers BOTH retired key versions and stale same-
+    * version tags from regenerated source tables, which the old
+    * prefix-based sweep left forever. Age-based (not immediate) so a
+    * concurrent process still running an older binary never loses its
+    * live index mid-query.
+    */
+  private val SweepTtlMs = 6L * 3600 * 1000
+
+  /** TTL sweep of every sibling cache dir except the current one:
+    * stats.json mtime = last use (ensure refreshes it on a cache hit),
+    * falling back to the dir mtime for half-built trees.
+    */
+  private def sweepStale(spark: SparkSession, keep: String): Unit = {
     val parent = new org.apache.hadoop.fs.Path("/tmp/graft_entry_index")
     val pfs = IndexPaths.fs(spark, parent.toString)
-    if (pfs.exists(parent))
-      pfs.listStatus(parent)
-        .filterNot(_.getPath.getName.startsWith("v10_"))
-        .foreach(s => pfs.delete(s.getPath, true))
+    if (!pfs.exists(parent)) return
+    val now = System.currentTimeMillis()
+    pfs.listStatus(parent)
+      .filterNot(_.getPath.getName ==
+        new org.apache.hadoop.fs.Path(keep).getName)
+      .foreach { s =>
+        val marker = new org.apache.hadoop.fs.Path(
+          s"${s.getPath}/stats.json")
+        val age = now - (if (pfs.exists(marker))
+          pfs.getFileStatus(marker).getModificationTime
+        else s.getModificationTime)
+        if (age > SweepTtlMs) pfs.delete(s.getPath, true)
+      }
+  }
+
+  def ensure(spark: SparkSession, dir: String): String = synchronized {
+    val idx = indexDirFor(spark, dir)
+    sweepStale(spark, keep = idx)
+    // cache hit: refresh last-use so another process's sweep never
+    // reclaims an index this one keeps serving
+    val statsP = new org.apache.hadoop.fs.Path(s"$idx/stats.json")
+    val ifs = IndexPaths.fs(spark, idx)
+    try if (ifs.exists(statsP))
+      ifs.setTimes(statsP, System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => () }
     if (!IndexPaths.exists(spark, s"$idx/stats.json") ||
         new index.CheckpointStore(spark, idx).list()
           .count(_.stage == "segments") < 2) {

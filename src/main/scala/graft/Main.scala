@@ -244,7 +244,23 @@ object Main {
           .filter(col("rn") === 1).drop("fp", "rn")
           .withColumn("doc_id", xxhash64(col("url")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val exactKept = src.count()
+        // id-collision gate: a 64-bit url-hash collision would merge
+        // two DIFFERENT documents into one id before the pair stage
+        // (the exact pass only covers identical text) and dedupCorpus
+        // would then silently drop a non-duplicate. One cheap agg over
+        // the kept rows; fail loudly instead of corrupting the corpus.
+        val idStats = src.agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.countDistinct(col("doc_id"))
+            .as("ids"),
+          org.apache.spark.sql.functions.countDistinct(col("url"))
+            .as("urls")).head()
+        val exactKept = idStats.getLong(0)
+        require(idStats.getLong(1) == idStats.getLong(2),
+          s"xxhash64(url) collision: ${idStats.getLong(2)} urls -> " +
+            s"${idStats.getLong(1)} ids; rerun with distinct urls or " +
+            "positional ids")
         val pairs = pipeline.Dedup.minhashLsh(src, "doc_id", "text",
           16, 4, 0.5)
         val nPairs = pairs.count()

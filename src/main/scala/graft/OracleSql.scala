@@ -274,22 +274,31 @@ object OracleSql {
     */
   def taxonomyRollup: String = {
     import graft.pipeline.Taxonomy
+    // alias patterns and SQL literals come from the SAME escaping
+    // helpers classify uses — the two sides can never drift on
+    // metacharacter aliases or embedded quotes
     val cases = Taxonomy.Themes.filter(_.aliases.nonEmpty).map { t =>
-      s"WHEN regexp_matches(lower(p_name), '${t.aliases.mkString("|")}') " +
-        s"THEN '${t.code}'"
+      s"WHEN regexp_matches(lower(p_name), " +
+        s"'${Taxonomy.sqlLit(Taxonomy.aliasPattern(t.aliases))}') " +
+        s"THEN '${Taxonomy.sqlLit(t.code)}'"
     }.mkString("\n  ")
     val fallback = Taxonomy.Themes.find(_.aliases.isEmpty)
       .map(_.code).getOrElse("other")
-    val vals = Taxonomy.Themes.map(t => s"('${t.code}','${t.parent}')")
+    val vals = Taxonomy.Themes
+      .map(t => s"('${Taxonomy.sqlLit(t.code)}','${Taxonomy.sqlLit(t.parent)}')")
       .mkString(",")
+    // LEFT join + misc default mirrors Taxonomy.rollup: an unmatched
+    // leaf (custom taxonomy without a fallback node) still rolls up
     s"""WITH lab AS (SELECT CASE
        |  $cases
-       |  ELSE '$fallback' END AS leaf FROM part),
-       |tax(leaf, parent) AS (VALUES $vals)
-       |SELECT coalesce(t.parent,'ALL') AS parent,
-       |  coalesce(l.leaf,'ALL') AS leaf, count(*) AS n
-       |FROM lab l JOIN tax t ON l.leaf = t.leaf
-       |GROUP BY ROLLUP(t.parent, l.leaf)
+       |  ELSE '${Taxonomy.sqlLit(fallback)}' END AS leaf FROM part),
+       |tax(leaf, parent) AS (VALUES $vals),
+       |j AS (SELECT l.leaf AS leaf, coalesce(t.parent, 'misc') AS parent
+       |  FROM lab l LEFT JOIN tax t ON l.leaf = t.leaf)
+       |SELECT coalesce(parent,'ALL') AS parent,
+       |  coalesce(leaf,'ALL') AS leaf, count(*) AS n
+       |FROM j
+       |GROUP BY ROLLUP(parent, leaf)
        |ORDER BY parent, leaf""".stripMargin
   }
 

@@ -52,6 +52,21 @@ object AnnIndex {
       IndexPaths.parseFlatJson(IndexPaths.readString(spark, statsPath(dir)))
         .get("lineage").contains(lineage)
 
+  /** Mark the artifact as in-use NOW (marker mtime = last use): a
+    * process that ensured once and keeps serving would otherwise see
+    * its artifact swept mid-read by another process once the TTL
+    * elapses — publish-time refresh alone only covers ensure callers.
+    * Best-effort: a marker swept between exists and setTimes is the
+    * very race this narrows, not one it can fully close; the require
+    * in the serve paths still fails loudly.
+    */
+  private def touch(spark: SparkSession, dir: String): Unit = {
+    val f = IndexPaths.fs(spark, dir)
+    val m = new org.apache.hadoop.fs.Path(statsPath(dir))
+    try if (f.exists(m)) f.setTimes(m, System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => () }
+  }
+
   // ------------------------------------------------------------------
   // IVF
   // ------------------------------------------------------------------
@@ -113,6 +128,7 @@ object AnnIndex {
               queryId: Long, k: Int, probes: Int): DataFrame = {
     require(IndexPaths.exists(spark, statsPath(dir)),
       s"no committed IVF artifact at $dir")
+    touch(spark, dir) // serve = use: keep the aged sweep off this artifact
     // wrong-dims queries would silently rank on null cosines
     // (zip_with pads) — fail loudly instead, like the LSH serve
     val dims = IndexPaths.parseFlatJson(
@@ -203,6 +219,7 @@ object AnnIndex {
               queryId: Long, k: Int, multiprobe: Int = 2): DataFrame = {
     require(IndexPaths.exists(spark, statsPath(dir)),
       s"no committed LSH artifact at $dir")
+    touch(spark, dir) // serve = use: keep the aged sweep off this artifact
     val st = IndexPaths.parseFlatJson(
       IndexPaths.readString(spark, statsPath(dir)))
     val np = st("numPlanes").toInt
@@ -339,14 +356,21 @@ object AnnIndex {
     if (!f.exists(p)) return
     val now = System.currentTimeMillis()
     f.listStatus(p).foreach { s =>
+      val name = s.getPath.getName
+      // an in-flight build dir (`…_build<pid>`) has no marker by
+      // design — never sweep one whose builder is still alive, even
+      // past the TTL (a long build is not an abandoned artifact)
+      val livePid = "_build(\\d+)$".r.findFirstMatchIn(name)
+        .flatMap(m => m.group(1).toLongOption)
+        .exists(pid => ProcessHandle.of(pid).isPresent)
       val marker = new org.apache.hadoop.fs.Path(
         s"${s.getPath}/ann_stats.json")
-      // marker mtime = last ensure-USE (publish refreshes it), so an
-      // artifact another process keeps ensuring stays alive
+      // marker mtime = last USE (publish AND the serve paths refresh
+      // it), so an artifact any process keeps using stays alive
       val age = now - (if (f.exists(marker))
         f.getFileStatus(marker).getModificationTime
       else s.getModificationTime)
-      if (age > SweepTtlMs) f.delete(s.getPath, true)
+      if (age > SweepTtlMs && !livePid) f.delete(s.getPath, true)
     }
   }
 }

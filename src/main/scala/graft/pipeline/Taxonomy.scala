@@ -33,6 +33,40 @@ object Taxonomy {
     Theme("ring", "hardware", Seq("ring")),
     Theme("other", "misc", Seq.empty))
 
+  /** Escape regex metacharacters so an alias is matched LITERALLY —
+    * char-by-char escaping (not \Q…\E) because the same pattern must
+    * parse under both Java regex (Spark rlike) and RE2 (the DuckDB
+    * oracle's regexp_matches).
+    */
+  private def escapeRegex(s: String): String =
+    s.flatMap(c =>
+      if ("\\.[]{}()*+?^$|".contains(c)) s"\\$c" else c.toString)
+
+  private def isWordChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_'
+
+  /** One theme's alias disjunction as a regex: each alias quoted and
+    * anchored with word boundaries (`\b` — identical semantics in Java
+    * regex and RE2), so alias `ring` matches the WORD ring, not the
+    * substring inside `spring`, and metacharacter aliases can't break
+    * the pattern. A side whose edge char is NOT a word char (`c++`)
+    * gets no anchor there — `\b` between two non-word chars never
+    * matches, so anchoring would make the alias unmatchable. Shared by
+    * [[classify]] and the oracle-SQL generator — both sides match by
+    * construction.
+    */
+  def aliasPattern(aliases: Seq[String]): String =
+    aliases.map { a =>
+      val pre = if (a.nonEmpty && isWordChar(a.head)) "\\b" else ""
+      val post = if (a.nonEmpty && isWordChar(a.last)) "\\b" else ""
+      pre + escapeRegex(a) + post
+    }.mkString("|")
+
+  /** Single-quote escaping for SQL string literals generated from
+    * theme data (codes/aliases) — shared with the oracle generator.
+    */
+  def sqlLit(s: String): String = s.replace("'", "''")
+
   /** Leaf classification of a (lowercased) name column: first theme
     * whose alias disjunction matches. One whole-stage-codegen CASE —
     * no UDF, no per-alias pass.
@@ -42,7 +76,7 @@ object Taxonomy {
       .getOrElse("other")
     themes.filter(_.aliases.nonEmpty).foldLeft(Option.empty[Column]) {
       case (acc, t) =>
-        val cond = lower(name).rlike(t.aliases.mkString("|"))
+        val cond = lower(name).rlike(aliasPattern(t.aliases))
         Some(acc match {
           case None => when(cond, lit(t.code))
           case Some(c) => c.when(cond, lit(t.code))
@@ -67,7 +101,12 @@ object Taxonomy {
              themes: Seq[Theme] = Themes): DataFrame = {
     val spark = df.sparkSession
     df.select(classify(col(nameCol), themes).as("leaf"))
-      .join(broadcast(themesDf(spark, themes)), "leaf")
+      // LEFT join + misc default: with a custom theme list lacking an
+      // alias-less fallback node, classify's fallback code has no
+      // hierarchy row — an inner join would silently drop every
+      // unmatched row from all rollup totals
+      .join(broadcast(themesDf(spark, themes)), Seq("leaf"), "left")
+      .withColumn("parent", coalesce(col("parent"), lit("misc")))
       .rollup(col("parent"), col("leaf"))
       .agg(count(lit(1)).as("n"))
       .select(coalesce(col("parent"), lit("ALL")).as("parent"),

@@ -52,6 +52,44 @@ class TaxonomySpec extends AnyFunSuite {
     assert(grand.toSeq == Seq(8L))
   }
 
+  test("aliases match whole words, not substrings") {
+    import spark.implicits._
+    // 'ring' must not classify 'spring'; 'nut' must not match 'minute'
+    val got = names("steel spring", "last minute", "lone ring")
+      .select(col("p_name"), Taxonomy.classify(col("p_name")).as("leaf"))
+      .as[(String, String)].collect().toMap
+    assert(got("steel spring") == "other")
+    assert(got("last minute") == "other")
+    assert(got("lone ring") == "ring")
+  }
+
+  test("metacharacter aliases match literally, not as regex") {
+    import spark.implicits._
+    val themes = Seq(
+      Taxonomy.Theme("cpp", "lang", Seq("c++")),
+      Taxonomy.Theme("dot", "sym", Seq("a.b")),
+      Taxonomy.Theme("other", "misc", Seq.empty))
+    val got = names("learn c++ now", "the a.b path", "axb route", "cxx")
+      .select(col("p_name"),
+        Taxonomy.classify(col("p_name"), themes).as("leaf"))
+      .as[(String, String)].collect().toMap
+    assert(got("learn c++ now") == "cpp") // '+' quoted, no regex error
+    assert(got("the a.b path") == "dot")
+    assert(got("axb route") == "other") // '.' is literal, not wildcard
+    assert(got("cxx") == "other")
+  }
+
+  test("custom taxonomy without a fallback node keeps unmatched rows") {
+    import spark.implicits._
+    val themes = Seq(Taxonomy.Theme("widget", "product", Seq("widget")))
+    val rows = Taxonomy.rollup(names("a widget", "plain thing"), "p_name",
+      themes).as[(String, String, Long)].collect()
+    // the unmatched row must appear under misc, not vanish
+    val grand = rows.filter(r => r._1 == "ALL" && r._2 == "ALL").map(_._3)
+    assert(grand.toSeq == Seq(2L))
+    assert(rows.exists(r => r._1 == "misc" && r._2 == "other" && r._3 == 1L))
+  }
+
   test("hierarchy resolution joins by broadcast, not shuffle") {
     val df = names("a widget", "c bolt")
     val plan = Taxonomy.rollup(df, "p_name")
