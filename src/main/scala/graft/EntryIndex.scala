@@ -110,6 +110,62 @@ object EntryIndex {
       .toDF("doc_id").orderBy("doc_id")
   }
 
+  /** Dictionary-served fuzzy term lookup ("did you mean"): terms
+    * within edit distance `maxDist` of a misspelled query term, ranked
+    * by (distance, corpus cf desc, term) — served from the persisted
+    * `terms/` artifact via [[Searcher.dictionary]], NEVER a corpus
+    * tokenize. The length-band prefilter (|len − len(q)| ≤ maxDist is
+    * necessary for distance ≤ maxDist) prunes before the levenshtein.
+    */
+  def fuzzyDf(spark: SparkSession, dir: String, q: String,
+              maxDist: Int, k: Int): DataFrame = {
+    val idx = ensure(spark, dir)
+    Searcher.dictionary(spark, Seq(idx))
+      .filter(abs(length(col("term")) - lit(q.length)) <= maxDist)
+      .withColumn("dist", levenshtein(col("term"), lit(q)).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("dist"), desc("cf"), col("term")).limit(k)
+      .select(col("term"), col("cf"), col("dist"))
+  }
+
+  /** Dictionary-served prefix autocomplete: terms under a prefix
+    * ranked by collection frequency — a pushed StringStartsWith over
+    * the persisted `terms/` artifact, never a corpus tokenize.
+    */
+  def prefixDf(spark: SparkSession, dir: String, prefix: String,
+               k: Int): DataFrame = {
+    val idx = ensure(spark, dir)
+    Searcher.dictionary(spark, Seq(idx))
+      .filter(col("term").startsWith(prefix))
+      .orderBy(desc("cf"), col("term")).limit(k)
+      .select(col("term"), col("cf"))
+  }
+
+  /** Engine-served more-like-this: seed terms come from tokenizing ONE
+    * doc (a pushed doc_id point read, not a corpus scan), their df
+    * from the terms artifact ([[Searcher.termMetas]] — pruned
+    * dictionary lookup), and candidate counting from ONLY the seed
+    * terms' posting blocks ([[Searcher.termDocs]] — the ft_and_search
+    * scan machinery with OR semantics). Rare = lowest df but ≥ 2
+    * (df=1 terms are unique to the seed and can match nothing).
+    */
+  def mltDf(spark: SparkSession, dir: String, seedId: Long,
+            nTerms: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val idx = ensure(spark, dir)
+    val text = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === seedId)
+      .select(col("text")).as[String].head()
+    val toks = graft.functions.Tokenize.tokens(text).distinct.toSeq
+    val metas = Searcher.termMetas(spark, Seq(idx), toks)
+    val seed = toks.flatMap(metas.get(_)).filter(_.df >= 2)
+      .sortBy(t => (t.df, t.term)).take(nTerms).map(_.term)
+    Searcher.termDocs(spark, Seq(idx), seed)
+      .filter(col("doc_id") =!= seedId)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
+      .orderBy(desc("shared"), col("doc_id")).limit(k)
+  }
+
   /** Engine-served bulk export: every doc matching ALL query terms,
     * dumped with url+text via [[Export.dumpQuery]] (chunked, resumable
     * writes), read back as (doc_id, url, fp) — fp = md5(text) keeps

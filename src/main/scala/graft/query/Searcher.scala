@@ -622,6 +622,111 @@ object Searcher {
     partTops.collect().sorted.slice(off, off + limit).toSeq
   }
 
+  /** The term DICTIONARY of an index as a DataFrame (term, df, cf),
+    * merged across live generations — the serve-side source for
+    * dictionary features (fuzzy "did you mean", prefix autocomplete):
+    * at 10⁹ docs these must read the ~10⁶-row terms artifact the
+    * build already persists, never re-derive it from the corpus
+    * (reference ancestor: serve queries hit the catalogue index, never
+    * re-scan sources — /root/reference/packages/api/spheraform_api/
+    * routers/search.py:38-46). Single generation skips the re-agg
+    * shuffle (terms are unique within one build); multi-generation
+    * df/cf sum across generations. Tombstoned docs' contribution is
+    * NOT subtracted — df drift is acceptable for ranking suggestions
+    * (compaction trues it up), same contract as searchMulti's global
+    * stats.
+    */
+  def dictionary(spark: SparkSession, indexDirs: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val live = indexDirs
+      .filter(d => IndexPaths.readStats(spark, d).numDocs > 0)
+    if (live.isEmpty)
+      return spark.emptyDataset[(String, Long, Long)]
+        .toDF("term", "df", "cf")
+    val per = live.map(d => spark.read.parquet(s"$d/terms")
+      .select($"term", $"df", $"cf"))
+    val u = per.reduce(_ union _)
+    if (live.size == 1) u
+    else u.groupBy("term")
+      .agg(sum($"df").as("df"), sum($"cf").as("cf"))
+  }
+
+  /** Per-term metadata for an explicit term list, merged across
+    * generations exactly as searchMulti merges (df/cf summed, maxTf
+    * max, minDl min) — the pruned-dictionary lookup (termHash
+    * pushdown + driver cache) exposed for serve features that need
+    * df for a handful of known terms (e.g. more-like-this seed-term
+    * selection) without a dictionary scan.
+    */
+  def termMetas(spark: SparkSession, indexDirs: Seq[String],
+                terms: Seq[String]): Map[String, TermMeta] = {
+    val distinctTerms = terms.distinct
+    if (distinctTerms.isEmpty) return Map.empty
+    val live = indexDirs
+      .filter(d => IndexPaths.readStats(spark, d).numDocs > 0)
+    if (live.isEmpty) return Map.empty
+    val metaPerIndex = lookupMetas(spark, live, distinctTerms)
+    distinctTerms.flatMap { term =>
+      val metas = metaPerIndex.flatMap(_.get(term))
+      if (metas.isEmpty) None
+      else Some(term -> metas.head.copy(df = metas.map(_.df).sum,
+        cf = metas.map(_.cf).sum, maxTf = metas.map(_.maxTf).max,
+        minDl = metas.map(_.minDl).min))
+    }.toMap
+  }
+
+  /** Posting membership for an explicit term list: (doc_id, term_idx)
+    * rows decoded from ONLY those terms' posting blocks (bucket
+    * partition pruning + termHash row groups — the ft_and_search scan
+    * machinery without the intersection), tombstone-masked. The
+    * candidate-generation primitive for OR-semantics serve features
+    * (more-like-this counts shared seed terms per doc): corpus-side
+    * cost is proportional to the chosen terms' posting lists, never a
+    * corpus tokenize. term_idx = position in `terms` (deduplicated).
+    */
+  def termDocs(spark: SparkSession, indexDirs: Seq[String],
+               terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val distinctTerms = terms.distinct
+    val empty = spark.emptyDataset[(Long, Int)].toDF("doc_id", "term_idx")
+    if (distinctTerms.isEmpty) return empty
+    val liveGens = indexDirs.map(d => d -> IndexPaths.readStats(spark, d))
+      .filter(_._2.numDocs > 0)
+    if (liveGens.isEmpty) return empty
+    val liveDirs = liveGens.map(_._1)
+    val statsList = liveGens.map(_._2)
+    val metaPerIndex = lookupMetas(spark, liveDirs, distinctTerms)
+    val mask = graft.index.Tombstones.maskFor(spark, indexDirs)
+    val bcMask = spark.sparkContext.broadcast(mask)
+    val tIdx: Map[String, Int] = distinctTerms.zipWithIndex.toMap
+    val keyUses: Map[String, Int] = metaPerIndex.flatMap { metas =>
+      metas.toSeq.flatMap { case (term, tm) =>
+        storageKeys(term, tm).map(_ -> tIdx(term))
+      }
+    }.toMap
+    if (keyUses.isEmpty) return empty
+    val bcUses = spark.sparkContext.broadcast(keyUses)
+    val blocks = liveDirs.zip(statsList).map { case (d, st) =>
+      val hs = metaPerIndex(liveDirs.indexOf(d)).toSeq.flatMap {
+        case (term, tm) =>
+          storageKeys(term, tm).map(IndexBuilder.xxhash)
+      }
+      val bks = hs.map(h => IndexBuilder.bucketOf(h, st.numBuckets))
+        .distinct
+      spark.read.parquet(s"$d/segments")
+        .filter($"bucket".isin(bks: _*) && $"termHash".isin(hs: _*))
+        .as[SegmentBlock]
+    }.reduce(_ union _)
+    blocks.flatMap { b =>
+      bcUses.value.get(b.skey).iterator.flatMap { ti =>
+        val ds = graft.index.Codec.decodeDeltas(b.docIdsEnc, b.n,
+          b.firstDocId)
+        val m = bcMask.value.fn
+        ds.iterator.filter(id => m == null || !m(id)).map(id => (id, ti))
+      }
+    }.toDF("doc_id", "term_idx")
+  }
+
   /** Back-join urls for a (small) hit set — docs table is range-sorted
     * by docId so the `isin` filter prunes row groups; the join itself
     * broadcasts the hits.
