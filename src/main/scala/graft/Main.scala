@@ -264,54 +264,99 @@ object Main {
         val pairs = pipeline.Dedup.minhashLsh(src, "doc_id", "text",
           16, 4, 0.5)
         val nPairs = pairs.count()
+        // --ckpt <dir>: durable per-round CC checkpoints (cluster
+        // deployment mode — survives executor loss mid-loop)
+        val ckptDir = args.indexOf("--ckpt") match {
+          case i if i >= 0 && i + 1 < args.length => Some(args(i + 1))
+          case i if i >= 0 =>
+            throw new IllegalArgumentException("--ckpt needs a dir")
+          case _ => None
+        }
         val kept = pipeline.Dedup.dedupCorpus(src, "doc_id", pairs,
-          "doc_a", "doc_b").drop("doc_id")
+          "doc_a", "doc_b", checkpointDir = ckptDir).drop("doc_id")
+        // outDir = args(2) unless it is a flag (usage:
+        // dedup <pages> [outDir] [--ckpt <dir>])
+        val outDirOpt =
+          if (args.length > 2 && !args(2).startsWith("--")) Some(args(2))
+          else None
         val keptN =
-          if (args.length > 2) {
+          if (outDirOpt.isDefined) {
             // row count observed during the write — no re-read job
             val obs = new org.apache.spark.sql.Observation()
             kept.observe(obs, org.apache.spark.sql.functions
               .count(org.apache.spark.sql.functions.lit(1)).as("n"))
-              .write.mode("overwrite").parquet(args(2))
+              .write.mode("overwrite").parquet(outDirOpt.get)
             obs.get("n").asInstanceOf[Long]
           } else kept.count()
         raw.unpersist(); src.unpersist()
         println(s"dedup: $total docs, ${total - exactKept} exact dups " +
           s"dropped, $nPairs near-dup pairs, kept $keptN " +
           s"(${total - keptN} total dropped)" +
-          (if (args.length > 2) s" -> ${args(2)}" else ""))
+          outDirOpt.map(o => s" -> $o").getOrElse(""))
 
       case "annbuild" =>
         // persisted ANN artifact over an embeddings table
-        // annbuild <emb.parquet> <dir> ivf|lsh
+        // annbuild <emb.parquet> <dir> ivf|lsh [--train N]
+        //                                      [--delta <baseDir>]
+        // --train N: N deterministic Lloyd iterations for the IVF
+        //   quantizer (ignored for lsh).
+        // --delta <baseDir>: build a DELTA generation over ONLY the
+        //   given table's rows, assigned/bucketed with the base
+        //   artifact's committed quantizer — serve base + deltas
+        //   together via annsearch's comma-separated dirs.
         val emb = spark.read.parquet(args(1))
         val dir = args(2)
         val tag = graft.index.IndexPaths.contentTag(spark, args(1))
-        args(3) match {
-          case "ivf" => pipeline.AnnIndex.buildIvf(emb, "vec_id",
-            "embedding", dir, numCentroids = 16, lineage = tag)
-          case "lsh" => pipeline.AnnIndex.buildLsh(emb, "vec_id",
+        val rest = args.drop(4)
+        def flag(name: String): Option[String] =
+          rest.indexOf(name) match {
+            case i if i >= 0 && i + 1 < rest.length => Some(rest(i + 1))
+            case i if i >= 0 => throw new IllegalArgumentException(
+              s"$name needs a value")
+            case _ => None
+          }
+        val deltaBase = flag("--delta")
+        val train = flag("--train").map(_.toInt).getOrElse(0)
+        (args(3), deltaBase) match {
+          case ("ivf", None) => pipeline.AnnIndex.buildIvf(emb, "vec_id",
+            "embedding", dir, numCentroids = 16, lineage = tag,
+            trainIters = train)
+          case ("ivf", Some(base)) => pipeline.AnnIndex.buildIvfDelta(
+            emb, "vec_id", "embedding", base, dir, lineage = tag)
+          case ("lsh", None) => pipeline.AnnIndex.buildLsh(emb, "vec_id",
             "embedding", dir, numPlanes = 6, numTables = 4, seed = 42L,
             lineage = tag)
-          case k => throw new IllegalArgumentException(s"ann kind: $k")
+          case ("lsh", Some(base)) => pipeline.AnnIndex.buildLshDelta(
+            emb, "vec_id", "embedding", base, dir, lineage = tag)
+          case (k, _) => throw new IllegalArgumentException(s"ann kind: $k")
         }
-        println(s"built ${args(3)} artifact -> $dir")
+        println(s"built ${args(3)}" +
+          deltaBase.map(b => s" delta (base $b)").getOrElse("") +
+          s" artifact -> $dir")
 
       case "annsearch" =>
-        // annsearch <dir> ivf|lsh <emb.parquet> <queryId> <k>
-        val dir = args(1)
+        // annsearch <dir[,deltaDir,...]> ivf|lsh <emb.parquet> <queryId> <k>
+        val dirs = args(1).split(",").toSeq
+        val dir = dirs.head
         val emb = spark.read.parquet(args(3))
         val qid = args(4).toLong
         val k = args(5).toInt
         // the artifact records the source it was built from; serving
         // it against a DIFFERENT (e.g. regenerated) table would score
-        // stale vectors and print confidently wrong neighbors
-        val stats = graft.index.IndexPaths.parseFlatJson(
-          graft.index.IndexPaths.readString(spark, s"$dir/ann_stats.json"))
-        val srcTag = graft.index.IndexPaths.contentTag(spark, args(3))
-        require(stats.get("lineage").exists(_.endsWith(s"src=$srcTag")),
-          s"artifact at $dir was built from a different embeddings " +
-            s"table than ${args(3)} — rebuild with annbuild")
+        // stale vectors and print confidently wrong neighbors. With
+        // delta generations the queried table is the MERGED corpus —
+        // no single generation's src tag can equal it, so the fence
+        // applies only to single-generation serving; multi-dir serving
+        // is fenced by the delta-vs-base lineage requires inside
+        // ivfTopKMulti/lshTopKMulti instead
+        if (dirs.size == 1) {
+          val stats = graft.index.IndexPaths.parseFlatJson(
+            graft.index.IndexPaths.readString(spark, s"$dir/ann_stats.json"))
+          val srcTag = graft.index.IndexPaths.contentTag(spark, args(3))
+          require(stats.get("lineage").exists(_.endsWith(s"src=$srcTag")),
+            s"artifact at $dir was built from a different embeddings " +
+              s"table than ${args(3)} — rebuild with annbuild")
+        }
         val qRow = emb.filter(org.apache.spark.sql.functions
           .col("vec_id") === qid)
           .select(org.apache.spark.sql.functions.col("embedding"))
@@ -319,9 +364,10 @@ object Main {
         require(qRow.nonEmpty, s"vec_id $qid not found in ${args(3)}")
         val q = qRow.head.getSeq[Float](0)
         val rows = (args(2) match {
-          case "ivf" => pipeline.AnnIndex.ivfTopK(spark, dir, q, qid, k,
-            probes = 4)
-          case "lsh" => pipeline.AnnIndex.lshTopK(spark, dir, q, qid, k)
+          case "ivf" => pipeline.AnnIndex.ivfTopKMulti(spark, dirs, q,
+            qid, k, probes = 4)
+          case "lsh" => pipeline.AnnIndex.lshTopKMulti(spark, dirs, q,
+            qid, k)
           case x => throw new IllegalArgumentException(s"ann kind: $x")
         }).collect()
         rows.foreach(r => println(f"${r.getLong(0)}%8d  ${r.getDouble(1)}%.4f"))

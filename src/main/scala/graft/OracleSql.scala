@@ -315,12 +315,60 @@ object OracleSql {
     * with cid tie-break, same probe rule — the candidate set is
     * identical by construction, then exact rerank.
     */
+  /** Mirror of the TRAINED quantizer ([[graft.pipeline.Similarity
+    * .trainCentroids]]): the Lloyd iterations are UNROLLED into CTE
+    * pairs (assign aN → means cN), means and init components rounded
+    * to 6 dp and assignment similarities to 4 dp on BOTH engines, so
+    * the final centroid set — and therefore the candidate rule — is
+    * identical by construction despite float-order differences.
+    * trainIters = 0 degrades to the untrained first-N-vectors rule
+    * (raw float centroids, no 6 dp rounding — matching the Spark
+    * untrained path exactly).
+    */
   def ivfTopK(queryId: Long, k: Int, numCentroids: Int,
-              probes: Int): String =
-    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
-       |  FROM embeddings WHERE vec_id < $numCentroids),
+              probes: Int, trainIters: Int): String = {
+    if (trainIters == 0)
+      return s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $numCentroids),
+         |q AS (SELECT embedding AS qv FROM embeddings
+         |  WHERE vec_id = $queryId),""".stripMargin +
+        ivfServeTail(queryId, k, probes)
+    val init =
+      s"""c0 AS (SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))
+         |      AS cvec
+         |  FROM embeddings WHERE vec_id < $numCentroids)""".stripMargin
+    val rounds = (1 to trainIters).map { i =>
+      val p = i - 1
+      s""",a$i AS (SELECT e.vec_id AS vid,
+         |    (SELECT c.cid FROM c$p c
+         |     ORDER BY round(list_cosine_similarity(e.embedding, c.cvec),
+         |       4) DESC, c.cid LIMIT 1) AS cid
+         |  FROM embeddings e),
+         |x$i AS (SELECT a$i.cid AS cid,
+         |    generate_subscripts(e.embedding, 1) AS d,
+         |    unnest(e.embedding) AS x
+         |  FROM a$i JOIN embeddings e ON a$i.vid = e.vec_id),
+         |m$i AS (SELECT cid, d, round(avg(CAST(x AS DOUBLE)), 6) AS m
+         |  FROM x$i GROUP BY cid, d),
+         |g$i AS (SELECT cid, list(m ORDER BY d) AS cvec
+         |  FROM m$i GROUP BY cid),
+         |c$i AS (SELECT c$p.cid, coalesce(g$i.cvec, c$p.cvec) AS cvec
+         |  FROM c$p LEFT JOIN g$i USING(cid))""".stripMargin
+    }.mkString
+    val cN = s"c$trainIters"
+    s"""WITH $init$rounds,
+       |cents AS (SELECT cid, cvec FROM $cN),
        |q AS (SELECT embedding AS qv FROM embeddings
-       |  WHERE vec_id = $queryId),
+       |  WHERE vec_id = $queryId),""".stripMargin +
+      ivfServeTail(queryId, k, probes)
+  }
+
+  /** The serve phase shared by trained and untrained mirrors: probe
+    * selection over `cents`, rounded-argmax assignment, pruned rerank.
+    */
+  private def ivfServeTail(queryId: Long, k: Int, probes: Int): String =
+    s"""
        |prb AS (SELECT cid FROM cents CROSS JOIN q
        |  ORDER BY round(list_cosine_similarity(cvec, qv), 4) DESC, cid
        |  LIMIT $probes),

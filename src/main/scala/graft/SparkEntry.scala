@@ -338,8 +338,13 @@ object SparkEntry {
     }),
     "sim_ivf_ann" -> ((s, d) => {
       // artifact-served: inverted lists at rest, probes of
-      // numCentroids partitions read per query
-      val dir = AnnIndex.ensureIvf(s, d, numCentroids = 16)
+      // numCentroids partitions read per query. The quantizer is
+      // TRAINED (2 deterministic Lloyd iterations — round-4 verdict
+      // item: untrained centroids mean unbalanced lists and poor
+      // recall-per-probe at scale); the oracle mirrors the unrolled
+      // iterations exactly
+      val dir = AnnIndex.ensureIvf(s, d, numCentroids = 16,
+        trainIters = 2)
       val q = AnnIndex.lookupVec(t(s, d, "embeddings"), "vec_id",
         "embedding", 2L)
       AnnIndex.ivfTopK(s, dir, q, 2L, 20, probes = 4)
@@ -653,7 +658,7 @@ object SparkEntry {
     "mm_sniff" -> data.ExtractFixtures.sniffOracleSql,
     "mm_frames" -> data.MultimodalFixtures.framesOracleSql,
     "mm_resize" -> data.MultimodalFixtures.resizeOracleSql,
-    "sim_ivf_ann" -> OracleSql.ivfTopK(2L, 20, 16, 4),
+    "sim_ivf_ann" -> OracleSql.ivfTopK(2L, 20, 16, 4, trainIters = 2),
     "ft_token_count" -> ("SELECT doc_id, " +
       "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), " +
       "x -> x <> '')) AS BIGINT) AS ws_tokens, " +

@@ -226,19 +226,28 @@ object Streaming {
           .cast("long").as("n_events"))
       .filter(col("n_events") > 0)
     val merged = spark.table(name).unionByName(open)
-      .orderBy("user_id", "session_id")
-    // Pin the result, then drop the per-run residue: the memory-sink
-    // table and the nanoTime checkpoint/state dir otherwise accumulate
-    // one copy per call across a verify/bench session. Sessions are
-    // O(users) rows — the memory SINK already held them on the driver,
-    // so localizing the result adds nothing new; at deployment scale
-    // the sink would be a real table and none of this path exists.
-    val rows = merged.collect()
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, 1), merged.schema)
+    // DISTRIBUTED final flush (retires the round-3/4 watch item): the
+    // union of the sink table and the state-source read writes
+    // straight to a parquet sink — closed AND still-open sessions
+    // reach durable storage without a driver collect. (The memory
+    // sink itself is driver-held by construction in this local
+    // harness; a deployment writes the stream to a real sink and the
+    // state-source flush below is the only extra job.) Per-run sink
+    // dirs are swept by age, like the staging cache.
+    val outRoot = "/tmp/graft_stream_sess_out"
+    val rfs = graft.index.IndexPaths.fs(spark, outRoot)
+    val rootP = new org.apache.hadoop.fs.Path(outRoot)
+    if (rfs.exists(rootP)) {
+      val now = System.currentTimeMillis()
+      rfs.listStatus(rootP)
+        .filter(s => now - s.getModificationTime > 6L * 3600 * 1000)
+        .foreach(s => rfs.delete(s.getPath, true))
+    }
+    val outDir = s"$outRoot/${name}_${System.nanoTime()}"
+    merged.write.mode("overwrite").parquet(outDir)
     spark.catalog.dropTempView(name)
     graft.index.IndexPaths.delete(spark, ckpt)
-    out
+    spark.read.parquet(outDir).orderBy("user_id", "session_id")
   }
 
   /** Tumbling event-time window aggregation with a watermark — the

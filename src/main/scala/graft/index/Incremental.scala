@@ -121,14 +121,29 @@ object Incremental {
     * is partition-order-independent, unlike any concatenation).
     * Written at build time; the checksum probe compares against it.
     */
+  /** Deterministic per-url sample for the sampled-checksum probe tier:
+    * 1-in-SampleMod urls, chosen by url hash so the SAME urls are
+    * sampled at fingerprint time and probe time regardless of
+    * partitioning or row order.
+    */
+  val SampleMod = 64
+
+  private def sampledCol =
+    pmod(xxhash64(col("url")), lit(SampleMod)) === 0
+
   def writeFingerprint(pages: Dataset[PageRow], indexDir: String): Unit = {
     val spark = pages.sparkSession
-    val r = pages.agg(count(lit(1)),
-      sum(xxhash64(col("url"), col("text")).cast("decimal(38,0)"))).head()
+    val h = xxhash64(col("url"), col("text")).cast("decimal(38,0)")
+    val r = pages.agg(count(lit(1)), sum(h),
+      sum(when(sampledCol, h)),
+      sum(when(sampledCol, lit(1L)).otherwise(lit(0L)))).head()
     val n = r.getLong(0)
     val sum0 = if (r.isNullAt(1)) BigDecimal(0) else r.getDecimal(1)
+    val sSum = if (r.isNullAt(2)) BigDecimal(0) else r.getDecimal(2)
+    val sCnt = r.getLong(3)
     IndexPaths.writeString(spark, s"$indexDir/fingerprint.json",
-      s"""{"count":$n,"checksum":"$sum0"}""")
+      s"""{"count":$n,"checksum":"$sum0",""" +
+        s""""sample_checksum":"$sSum","sample_count":$sCnt}""")
     // per-url content hashes: the SELECTIVE re-ingest sidecar. The
     // aggregate checksum above can say "changed" without saying WHICH
     // rows — a same-timestamp content edit is invisible to the
@@ -167,14 +182,24 @@ object Incremental {
 
   /** Run the probe ladder, cheapest first, stopping at the first
     * DECISIVE probe. Returns the verdict plus the per-probe trail
-    * (tri-state each, like the reference's method ladder):
+    * (tri-state each, like the reference's method ladder —
+    * /root/reference/packages/core/spheraform_core/models/change.py:22-32):
     *  1. watermark — max(warc_ts) vs the stored watermark: one
     *     column-pruned agg; newer rows ⇒ Changed, else Unknown
     *     (same-timestamp edits are invisible to it).
     *  2. count — row count vs the fingerprint count: != ⇒ Changed,
-    *     == ⇒ Unknown (replacements preserve counts).
-    *  3. checksum — content checksum vs the fingerprint: decisive in
-    *     BOTH directions (full scan; the expensive last rung).
+    *     == ⇒ Unknown (replacements preserve counts). Its OWN scan
+    *     (metadata-cheap, no text read) — fusing it with the checksum
+    *     agg, as before round 5, made the "cheap" rung pay the full
+    *     text scan it exists to avoid.
+    *  3. sampled checksum — content checksum over the deterministic
+    *     1-in-[[SampleMod]] url sample: a changed sampled row ⇒
+    *     Changed; a match ⇒ Unknown (changes outside the sample are
+    *     invisible). Text is hashed for ~1/[[SampleMod]] of the
+    *     corpus — at 100 TB this rung catches most real re-crawls
+    *     before the full scan.
+    *  4. checksum — full content checksum vs the fingerprint:
+    *     decisive in BOTH directions (the expensive last rung).
     */
   def detectChange(pages: Dataset[PageRow],
                    indexDir: String): (Change, Seq[(String, Change)]) = {
@@ -189,21 +214,39 @@ object Incremental {
     }
     trail += (("watermark", wmVerdict))
     if (wmVerdict == Changed) return (Changed, trail.toSeq)
-    // 2 + 3 need the fingerprint sidecar
+    // 2-4 need the fingerprint sidecar
     if (!IndexPaths.exists(spark, s"$indexDir/fingerprint.json")) {
-      trail += (("count", Unknown)); trail += (("checksum", Unknown))
+      trail += (("count", Unknown)); trail += (("sample", Unknown))
+      trail += (("checksum", Unknown))
       return (Unknown, trail.toSeq)
     }
     val fp = IndexPaths.parseFlatJson(
       IndexPaths.readString(spark, s"$indexDir/fingerprint.json"))
-    val r = pages.agg(count(lit(1)),
-      sum(xxhash64(col("url"), col("text")).cast("decimal(38,0)"))).head()
-    val cntVerdict =
-      if (r.getLong(0) != fp("count").toLong) Changed else Unknown
+    // 2. count probe: no text column touched
+    val cnt = pages.agg(count(lit(1))).head().getLong(0)
+    val cntVerdict = if (cnt != fp("count").toLong) Changed else Unknown
     trail += (("count", cntVerdict))
     if (cntVerdict == Changed) return (Changed, trail.toSeq)
+    val h = xxhash64(col("url"), col("text")).cast("decimal(38,0)")
+    // 3. sampled checksum probe (skipped as Unknown for legacy
+    //    fingerprints without the sample fields)
+    if (fp.contains("sample_checksum")) {
+      val sr = pages.filter(sampledCol)
+        .agg(count(lit(1)), sum(h)).head()
+      val sCnt = sr.getLong(0)
+      val sSum =
+        if (sr.isNullAt(1)) BigDecimal(0) else BigDecimal(sr.getDecimal(1))
+      val sVerdict =
+        if (sCnt != fp("sample_count").toLong ||
+            sSum != BigDecimal(fp("sample_checksum"))) Changed
+        else Unknown
+      trail += (("sample", sVerdict))
+      if (sVerdict == Changed) return (Changed, trail.toSeq)
+    } else trail += (("sample", Unknown))
+    // 4. full checksum: decisive both ways
+    val r = pages.agg(sum(h)).head()
     val sum0 =
-      if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1))
+      if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
     val ckVerdict =
       if (sum0 == BigDecimal(fp("checksum"))) Unchanged else Changed
     trail += (("checksum", ckVerdict))

@@ -71,18 +71,29 @@ object AnnIndex {
   // IVF
   // ------------------------------------------------------------------
 
-  /** Build the IVF artifact: the [[Similarity.ivfTopK]] assignment
-    * (rounded-cosine argmax against the first `numCentroids` vectors,
-    * struct-max plan) materialized as one partitioned-parquet inverted
-    * list per centroid. One shuffle on cid sizes one writer per list
-    * (a hot list at scale would salt into sub-files, like the posting
-    * builder's hot terms).
+  /** Build the IVF artifact: the [[Similarity.assignCentroids]]
+    * assignment (rounded-cosine argmax, struct-max plan) materialized
+    * as one partitioned-parquet inverted list per centroid.
+    *
+    * @param trainIters 0 = untrained quantizer (centroids are the
+    *        first numCentroids vectors — the fully SQL-mirrorable
+    *        baseline); > 0 runs that many deterministic Lloyd
+    *        iterations ([[Similarity.trainCentroids]]) — at real scale
+    *        untrained centroids mean unbalanced lists and poor
+    *        recall-per-probe.
+    * @param listSaltTarget max vectors per list-writer task: lists
+    *        larger than this split across ceil(n/target) writer tasks
+    *        by a vid-hash salt (the posting builder's hot-term rule) —
+    *        a hot list no longer serializes into one writer. Layout
+    *        unchanged (multiple files under one cid= dir).
     */
   def buildIvf(emb: DataFrame, idCol: String, vecCol: String,
                dir: String, numCentroids: Int,
-               lineage: String, resume: Boolean = true): Unit = {
+               lineage: String, resume: Boolean = true,
+               trainIters: Int = 0,
+               listSaltTarget: Long = 1L << 20): Unit = {
     val spark = emb.sparkSession
-    val line = s"ivf;c=$numCentroids;src=$lineage"
+    val line = s"ivf;c=$numCentroids;it=$trainIters;src=$lineage"
     if (resume && committed(spark, dir, line)) return
     // stale or partial artifact: rebuild from scratch (the marker is
     // only written after every stage commits)
@@ -91,30 +102,91 @@ object AnnIndex {
     // instead of crashing after the old artifact was already deleted
     val dims = emb.select(size(col(vecCol))).head(1)
       .headOption.map(_.getInt(0)).getOrElse(0)
-    val cents = emb.filter(col(idCol) < numCentroids)
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+    val cents =
+      if (trainIters > 0)
+        Similarity.trainCentroids(emb, idCol, vecCol, numCentroids,
+          trainIters)
+      else emb.filter(col(idCol) < numCentroids)
+        .select(col(idCol).cast("long").as("cid"),
+          col(vecCol).as("cvec"))
     cents.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
-    val sims = emb.select(col(idCol).cast("long").as("vid"),
-        col(vecCol).as("vec"))
-      .crossJoin(broadcast(cents))
-      .withColumn("csim",
-        round(Similarity.cosine(col("vec"), col("cvec")), 4))
-    val assigned = sims
-      .groupBy(col("vid"))
-      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
-      .select(col("vid"), (-col("m.ncid")).cast("long").as("cid"))
+    val storedCents = spark.read.parquet(s"$dir/centroids")
+    val assigned =
+      Similarity.assignCentroids(emb, idCol, vecCol, storedCents)
+    val n = writeLists(emb, idCol, vecCol, assigned, s"$dir/lists",
+      listSaltTarget)
+    IndexPaths.writeString(spark, statsPath(dir),
+      s"""{"kind":"ivf","numCentroids":$numCentroids,"numVecs":$n,""" +
+        s""""dims":$dims,"trainIters":$trainIters,""" +
+        s""""lineage":"$line"}""")
+  }
+
+  /** Salted list write shared by base and delta builds: list sizes
+    * (numCentroids rows — broadcast) decide each list's writer-task
+    * fan-out; rows shuffle once on (cid, salt). Returns the row count
+    * (observed during the write — no re-read job).
+    */
+  private def writeLists(emb: DataFrame, idCol: String, vecCol: String,
+                         assigned: DataFrame, listsDir: String,
+                         listSaltTarget: Long): Long = {
+    val sizes = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("ln"))
+      .select(col("cid"), greatest(lit(1L),
+        ceil(col("ln").cast("double") / listSaltTarget.toDouble)
+          .cast("long")).as("sc"))
     val obs = new org.apache.spark.sql.Observation()
+    // explicit width: AQE's small-partition coalescing would otherwise
+    // collapse the salted shuffle back into few writers at low data
+    // volumes — the fan-out IS the point, and at scale the partitions
+    // are full so the explicit count changes nothing
+    val width = emb.sparkSession.sessionState.conf.numShufflePartitions
     assigned
       .join(emb.select(col(idCol).cast("long").as("vid"),
         col(vecCol).as("vec")), "vid")
+      .join(broadcast(sizes), "cid")
+      .withColumn("salt", pmod(xxhash64(col("vid")), col("sc")))
+      .repartition(width, col("cid"), col("salt"))
+      .drop("sc", "salt")
       .observe(obs, count(lit(1)).as("n"))
-      .repartition(col("cid"))
       .write.mode(SaveMode.Overwrite).partitionBy("cid")
-      .parquet(s"$dir/lists")
-    val n = obs.get("n").asInstanceOf[Long]
-    IndexPaths.writeString(spark, statsPath(dir),
-      s"""{"kind":"ivf","numCentroids":$numCentroids,"numVecs":$n,""" +
-        s""""dims":$dims,"lineage":"$line"}""")
+      .parquet(listsDir)
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** Build an IVF DELTA generation: assign ONLY `newEmb` against the
+    * BASE artifact's committed centroids and write their inverted
+    * lists beside it — the index's generation model
+    * (graft.index.Incremental.buildDelta) applied to the ANN tier, so
+    * a grown corpus no longer pays the all-or-nothing rebuild. Serve
+    * via [[ivfTopKMulti]](base +: deltas). With the untrained
+    * quantizer this is EXACTLY a full rebuild over the merged corpus
+    * (same centroid rule as long as the base holds vec_id <
+    * numCentroids); with a trained one, centroids stay frozen until
+    * the next full rebuild (standard IVF practice — retraining is the
+    * compaction analog).
+    */
+  def buildIvfDelta(newEmb: DataFrame, idCol: String, vecCol: String,
+                    baseDir: String, deltaDir: String,
+                    lineage: String, resume: Boolean = true,
+                    listSaltTarget: Long = 1L << 20): Unit = {
+    val spark = newEmb.sparkSession
+    require(IndexPaths.exists(spark, statsPath(baseDir)),
+      s"no committed IVF base artifact at $baseDir")
+    val base = IndexPaths.parseFlatJson(
+      IndexPaths.readString(spark, statsPath(baseDir)))
+    require(base("kind") == "ivf", s"base at $baseDir is ${base("kind")}")
+    val line = s"ivf_delta;base=${base("lineage")};src=$lineage"
+    if (resume && committed(spark, deltaDir, line)) return
+    IndexPaths.delete(spark, deltaDir)
+    val cents = spark.read.parquet(s"$baseDir/centroids")
+    val assigned =
+      Similarity.assignCentroids(newEmb, idCol, vecCol, cents)
+    val n = writeLists(newEmb, idCol, vecCol, assigned,
+      s"$deltaDir/lists", listSaltTarget)
+    IndexPaths.writeString(spark, statsPath(deltaDir),
+      s"""{"kind":"ivf_delta","numCentroids":${base("numCentroids")},""" +
+        s""""numVecs":$n,"dims":${base("dims")},""" +
+        s""""base":"${base("lineage")}","lineage":"$line"}""")
   }
 
   /** Serve top-k from the IVF artifact: probe selection over the tiny
@@ -125,25 +197,60 @@ object AnnIndex {
     * tie-breaks).
     */
   def ivfTopK(spark: SparkSession, dir: String, queryVec: Seq[Float],
-              queryId: Long, k: Int, probes: Int): DataFrame = {
-    require(IndexPaths.exists(spark, statsPath(dir)),
-      s"no committed IVF artifact at $dir")
-    touch(spark, dir) // serve = use: keep the aged sweep off this artifact
+              queryId: Long, k: Int, probes: Int): DataFrame =
+    ivfTopKMulti(spark, Seq(dir), queryVec, queryId, k, probes)
+
+  /** Serve top-k from a base IVF artifact plus delta generations
+    * (dirs.head must be the base — its centroids define the probe
+    * set; deltas were assigned against those same centroids by
+    * [[buildIvfDelta]]). The probed lists of EVERY generation are
+    * read (same partition pruning each) and reranked together —
+    * identical to a full rebuild over the merged corpus under the
+    * shared centroid set.
+    */
+  def ivfTopKMulti(spark: SparkSession, dirs: Seq[String],
+                   queryVec: Seq[Float], queryId: Long, k: Int,
+                   probes: Int): DataFrame = {
+    require(dirs.nonEmpty, "no IVF artifact dirs")
+    dirs.foreach { d =>
+      require(IndexPaths.exists(spark, statsPath(d)),
+        s"no committed IVF artifact at $d")
+      touch(spark, d) // serve = use: keep the aged sweep off it
+    }
+    val base = IndexPaths.parseFlatJson(
+      IndexPaths.readString(spark, statsPath(dirs.head)))
+    require(base("kind") == "ivf",
+      s"dirs.head must be the base artifact, got ${base("kind")}")
+    // every delta must have been assigned against THIS base's
+    // centroids, or probe pruning silently misses its vectors
+    dirs.tail.foreach { d =>
+      val st = IndexPaths.parseFlatJson(
+        IndexPaths.readString(spark, statsPath(d)))
+      require(st("kind") == "ivf_delta" &&
+        st("base") == base("lineage"),
+        s"delta $d was not built against base ${dirs.head}")
+    }
     // wrong-dims queries would silently rank on null cosines
     // (zip_with pads) — fail loudly instead, like the LSH serve
-    val dims = IndexPaths.parseFlatJson(
-      IndexPaths.readString(spark, statsPath(dir)))
-      .get("dims").map(_.toInt)
+    val dims = base.get("dims").map(_.toInt)
     require(dims.forall(_ == queryVec.length),
       s"query dims ${queryVec.length} != artifact dims ${dims.get}")
     val qArr = array(queryVec.map(v => lit(v)).toSeq: _*)
-    val qProbes = spark.read.parquet(s"$dir/centroids")
+    val qProbes = spark.read.parquet(s"${dirs.head}/centroids")
       .withColumn("qsim",
         round(Similarity.cosine(col("cvec"), qArr), 4))
       .orderBy(desc("qsim"), col("cid"))
       .limit(probes).select(col("cid"))
       .collect().map(_.getLong(0)).toSeq
-    spark.read.parquet(s"$dir/lists")
+    // an empty delta generation has no readable list partitions —
+    // drop it from the scan (the base stays: its centroids define the
+    // probe set regardless)
+    val live = dirs.head +: dirs.tail.filter { d =>
+      IndexPaths.parseFlatJson(IndexPaths.readString(spark, statsPath(d)))
+        .get("numVecs").exists(_.toLong > 0)
+    }
+    live.map(d => spark.read.parquet(s"$d/lists"))
+      .reduce(_ unionByName _)
       .filter(col("cid").isin(qProbes: _*) && col("vid") =!= queryId)
       .select(col("vid").as("vec_id"),
         round(Similarity.cosine(col("vec"), qArr), 4).as("cos_r"))
@@ -207,6 +314,39 @@ object AnnIndex {
         s""""lineage":"$line"}""")
   }
 
+  /** Build an LSH DELTA generation: bucket ONLY `newEmb` with the
+    * BASE artifact's plane family (numPlanes/numTables/seed from its
+    * stats — planes are seed-derived, not data-dependent, so base +
+    * delta is EXACTLY a full rebuild over the merged corpus). Serve
+    * via [[lshTopKMulti]](base +: deltas).
+    */
+  def buildLshDelta(newEmb: DataFrame, idCol: String, vecCol: String,
+                    baseDir: String, deltaDir: String,
+                    lineage: String, resume: Boolean = true): Unit = {
+    val spark = newEmb.sparkSession
+    require(IndexPaths.exists(spark, statsPath(baseDir)),
+      s"no committed LSH base artifact at $baseDir")
+    val base = IndexPaths.parseFlatJson(
+      IndexPaths.readString(spark, statsPath(baseDir)))
+    require(base("kind") == "lsh", s"base at $baseDir is ${base("kind")}")
+    val line = s"lsh_delta;base=${base("lineage")};src=$lineage"
+    if (resume && committed(spark, deltaDir, line)) return
+    IndexPaths.delete(spark, deltaDir)
+    buildLsh(newEmb, idCol, vecCol, deltaDir,
+      base("numPlanes").toInt, base("numTables").toInt,
+      base("seed").toLong, lineage = lineage)
+    // re-stamp as a delta carrying its base lineage (buildLsh wrote a
+    // standalone marker; the dims recorded there may be 0 for an
+    // empty delta — inherit the base's)
+    val st = IndexPaths.parseFlatJson(
+      IndexPaths.readString(spark, statsPath(deltaDir)))
+    IndexPaths.writeString(spark, statsPath(deltaDir),
+      s"""{"kind":"lsh_delta","numPlanes":${base("numPlanes")},""" +
+        s""""numTables":${base("numTables")},"seed":${base("seed")},""" +
+        s""""dims":${base("dims")},"numVecs":${st("numVecs")},""" +
+        s""""base":"${base("lineage")}","lineage":"$line"}""")
+  }
+
   /** Serve top-k from the LSH artifact: the query's probe buckets per
     * table ([[Similarity.lshTopK]]'s multiprobe rule — own bucket +
     * smallest-|dot|-margin flips) are computed on the driver from the
@@ -216,12 +356,35 @@ object AnnIndex {
     * candidate set. Identical results to the per-query formulation.
     */
   def lshTopK(spark: SparkSession, dir: String, queryVec: Seq[Float],
-              queryId: Long, k: Int, multiprobe: Int = 2): DataFrame = {
-    require(IndexPaths.exists(spark, statsPath(dir)),
-      s"no committed LSH artifact at $dir")
-    touch(spark, dir) // serve = use: keep the aged sweep off this artifact
+              queryId: Long, k: Int, multiprobe: Int = 2): DataFrame =
+    lshTopKMulti(spark, Seq(dir), queryVec, queryId, k, multiprobe)
+
+  /** Serve top-k from a base LSH artifact plus delta generations
+    * (dirs.head = base; deltas share its plane family by
+    * construction). Probe-set computation is identical; every
+    * generation's probed buckets and vector store are read with the
+    * same pruning and reranked together — exactly the full-rebuild
+    * result over the merged corpus.
+    */
+  def lshTopKMulti(spark: SparkSession, dirs: Seq[String],
+                   queryVec: Seq[Float], queryId: Long, k: Int,
+                   multiprobe: Int = 2): DataFrame = {
+    require(dirs.nonEmpty, "no LSH artifact dirs")
+    dirs.foreach { d =>
+      require(IndexPaths.exists(spark, statsPath(d)),
+        s"no committed LSH artifact at $d")
+      touch(spark, d) // serve = use: keep the aged sweep off it
+    }
     val st = IndexPaths.parseFlatJson(
-      IndexPaths.readString(spark, statsPath(dir)))
+      IndexPaths.readString(spark, statsPath(dirs.head)))
+    require(st("kind") == "lsh",
+      s"dirs.head must be the base artifact, got ${st("kind")}")
+    dirs.tail.foreach { d =>
+      val ds = IndexPaths.parseFlatJson(
+        IndexPaths.readString(spark, statsPath(d)))
+      require(ds("kind") == "lsh_delta" && ds("base") == st("lineage"),
+        s"delta $d was not built against base ${dirs.head}")
+    }
     val np = st("numPlanes").toInt
     val nT = st("numTables").toInt
     val sd = st("seed").toLong
@@ -249,11 +412,20 @@ object AnnIndex {
     val probeFilter = probeSets.zipWithIndex.map { case (bs, t) =>
       col("t") === t && col("bkt").isin(bs.toSeq: _*)
     }.reduce(_ || _)
-    val cands = spark.read.parquet(s"$dir/buckets")
+    // an empty delta generation has no readable bucket partitions —
+    // drop it from the scans (same rule as Searcher's empty-generation
+    // handling); the base stays even if empty (probe sets don't care)
+    val live = dirs.head +: dirs.tail.filter { d =>
+      IndexPaths.parseFlatJson(IndexPaths.readString(spark, statsPath(d)))
+        .get("numVecs").exists(_.toLong > 0)
+    }
+    val cands = live.map(d => spark.read.parquet(s"$d/buckets"))
+      .reduce(_ unionByName _)
       .filter(probeFilter && col("vid") =!= queryId)
       .select(col("vid")).distinct()
     val qArr = array(queryVec.map(v => lit(v)).toSeq: _*)
-    spark.read.parquet(s"$dir/vecs")
+    live.map(d => spark.read.parquet(s"$d/vecs"))
+      .reduce(_ unionByName _)
       .join(cands, "vid")
       .select(col("vid").as("vec_id"),
         round(Similarity.cosine(col("vec"), qArr), 4).as("cos_r"))
@@ -276,15 +448,17 @@ object AnnIndex {
     * artifact over `<sfDir>/embeddings.parquet`.
     */
   def ensureIvf(spark: SparkSession, sfDir: String,
-                numCentroids: Int): String = synchronized {
-    val src = s"$sfDir/embeddings.parquet"
-    val tag = IndexPaths.contentTag(spark, src)
-    val dir = s"${CacheRoot}/v1_ivf${numCentroids}_$tag"
-    publish(spark, dir, s"ivf;c=$numCentroids;src=$tag") { tmp =>
-      buildIvf(spark.read.parquet(src), "vec_id", "embedding",
-        tmp, numCentroids, lineage = tag)
+                numCentroids: Int, trainIters: Int = 0): String =
+    synchronized {
+      val src = s"$sfDir/embeddings.parquet"
+      val tag = IndexPaths.contentTag(spark, src)
+      val dir = s"${CacheRoot}/v1_ivf${numCentroids}i${trainIters}_$tag"
+      publish(spark, dir,
+        s"ivf;c=$numCentroids;it=$trainIters;src=$tag") { tmp =>
+        buildIvf(spark.read.parquet(src), "vec_id", "embedding",
+          tmp, numCentroids, lineage = tag, trainIters = trainIters)
+      }
     }
-  }
 
   /** Build-once LSH artifact over `<sfDir>/embeddings.parquet`. */
   def ensureLsh(spark: SparkSession, sfDir: String, numPlanes: Int,

@@ -378,9 +378,22 @@ object Dedup {
     * from the pair graph are implicit singletons (callers treat
     * missing as cluster_id = doc_id — [[dedupCorpus]] does).
     */
+  /** @param checkpointDir when set, each CC round truncates lineage
+    *        with a RELIABLE checkpoint into this directory instead of
+    *        a localCheckpoint — the cluster deployment mode: an
+    *        executor loss mid-loop recovers from durable storage and
+    *        restarts the round, not the whole job. Local runs (and the
+    *        contract queries) keep the default localCheckpoint — same
+    *        convergence, no durable-write tax per round.
+    */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
-               maxIter: Int = 30): DataFrame = {
+               maxIter: Int = 30,
+               checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager)
+      else df.localCheckpoint(eager)
     val nodes = pairs.select(col(aCol).cast("long").as("id"))
       .union(pairs.select(col(bCol).cast("long").as("id")))
       .distinct()
@@ -427,11 +440,10 @@ object Dedup {
     // a second, redundant job per round. On a cluster deployment this
     // would be a reliable checkpoint to durable storage instead
     // (executor loss mid-loop restarts the loop, not the job).
-    var cur = pairs
+    var cur = ckpt(pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(false)
+      .distinct(), eager = false)
     var curSig = signature(cur)
     var converged = curSig._1 == 0L
     var it = 0
@@ -466,7 +478,7 @@ object Dedup {
       }
       while (!converged && it < maxIter) {
         val tR = System.nanoTime()
-        val next = smallStar(largeStar(cur)).localCheckpoint(false)
+        val next = ckpt(smallStar(largeStar(cur)), eager = false)
         val nextSig = signature(next)
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           System.err.println(f"[cc-debug] round $it: " +
@@ -486,11 +498,10 @@ object Dedup {
       // never re-plans the loop tail at session width.
       val mapping = cur.groupBy(col("u")).agg(min(col("v")).as("comp"))
         .select(col("u").as("id"), col("comp"))
-      nodes.join(mapping, Seq("id"), "left")
+      ckpt(nodes.join(mapping, Seq("id"), "left")
         .select(col("id").as("doc_id"),
           coalesce(col("comp"), col("id")).as("cluster_id"))
-        .orderBy("doc_id")
-        .localCheckpoint(true)
+        .orderBy("doc_id"), eager = true)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
@@ -503,8 +514,10 @@ object Dedup {
     * the pair graph survive as singletons.
     */
   def dedupCorpus(docs: DataFrame, idCol: String, pairs: DataFrame,
-                  aCol: String, bCol: String): DataFrame = {
-    val losers = clusters(pairs, aCol, bCol)
+                  aCol: String, bCol: String,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val losers = clusters(pairs, aCol, bCol,
+        checkpointDir = checkpointDir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")

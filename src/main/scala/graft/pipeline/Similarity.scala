@@ -122,6 +122,62 @@ object Similarity {
       }
   }
 
+  /** Nearest-centroid assignment: per vector, argmax over centroids of
+    * ROUNDED cosine (4 dp, tie → min cid) as a struct-max aggregate —
+    * map-side combinable, no window sort; the centroid side broadcasts
+    * (a coarse quantizer is small by design). Shared by the per-query
+    * IVF, the artifact build, and the k-means trainer so the
+    * assignment rule can never drift between them.
+    */
+  def assignCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      cents: DataFrame): DataFrame =
+    emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("vvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(cosine(col("vvec"), col("cvec")), 4))
+      .groupBy(col("vid"))
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vid"), (-col("m.ncid")).cast("long").as("cid"))
+
+  /** Train the IVF coarse quantizer with `iters` Lloyd iterations —
+    * deterministic and SQL-mirrorable end to end (the reference's
+    * analog is its size-adaptive structure selection,
+    * /root/reference/packages/core/spheraform_core/services/download.py:38-79):
+    *  - init: the first `numCentroids` vectors (components rounded to
+    *    6 dp so both engines start from identical doubles);
+    *  - each round: assign by the ROUNDED-cosine argmax above, then
+    *    recompute each centroid as the element-wise mean of its list,
+    *    rounded to 6 dp (the rounding pins Spark-vs-DuckDB float
+    *    accumulation differences the same way the 4 dp assignment
+    *    rounding does); an emptied list keeps its previous centroid.
+    * Output: (cid, cvec array<double>). Shape at scale: each round is
+    * one broadcast-assign + one posexplode aggregation — numCentroids
+    * × dims grouped means, fully map-side combinable; no iteration
+    * state on the driver beyond the loop counter.
+    */
+  def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                     numCentroids: Int, iters: Int): DataFrame = {
+    var cents = emb.filter(col(idCol) < numCentroids)
+      .select(col(idCol).cast("long").as("cid"),
+        transform(col(vecCol), v => round(v.cast("double"), 6)).as("cvec"))
+    val vecs = emb.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).as("vec"))
+    for (_ <- 0 until math.max(0, iters)) {
+      val assigned = assignCentroids(emb, idCol, vecCol, cents)
+      val means = assigned.join(vecs, "vid")
+        .select(col("cid"), posexplode(col("vec")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m")).as("mvec"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+        // truncate per-round lineage growth (tiny data, deep plans)
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** IVF-flat approximate NN: a data-derived coarse quantizer (the
     * first `numCentroids` vectors — deterministic and SQL-mirrorable)
     * partitions the corpus by max-cosine centroid; a query probes its

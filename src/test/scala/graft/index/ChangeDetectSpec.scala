@@ -6,13 +6,22 @@ import graft.SparkTestSession
 import graft.data.PagesGen
 
 /** Multi-method change detection: the cost-ordered tri-state probe
-  * ladder (watermark → count → checksum) must catch each change class
-  * with the CHEAPEST decisive probe, and declare Unchanged only from
-  * the checksum.
+  * ladder (watermark → count → sampled checksum → full checksum) must
+  * catch each change class with the CHEAPEST decisive probe, and
+  * declare Unchanged only from the full checksum.
   */
 class ChangeDetectSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import graft.index.Incremental._
+
+  /** Urls in the deterministic 1-in-SampleMod probe sample. */
+  def sampledUrls(n: Long): Set[String] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    PagesGen.pages(spark, n).toDF()
+      .filter(pmod(xxhash64(col("url")), lit(SampleMod)) === 0)
+      .select("url").as[String].collect().toSet
+  }
 
   lazy val dir: String = {
     val d = SparkTestSession.tmpDir("graft_cd")
@@ -28,7 +37,22 @@ class ChangeDetectSpec extends AnyFunSuite {
     val (v, trail) = detectChange(PagesGen.pages(spark, 200L), dir)
     assert(v == Unchanged)
     assert(trail == Seq(("watermark", Unknown), ("count", Unknown),
-      ("checksum", Unchanged)))
+      ("sample", Unknown), ("checksum", Unchanged)))
+  }
+
+  test("edit on a SAMPLED url → the sample probe decides; full checksum never runs") {
+    import spark.implicits._
+    val inSample = sampledUrls(200L)
+    assert(inSample.nonEmpty, "precondition: sample non-empty at n=200")
+    val target = inSample.min
+    val edited = PagesGen.pages(spark, 200L)
+      .map(p => if (p.url == target) p.copy(text = p.text + " edited")
+                else p)
+    val (v, trail) = detectChange(edited, dir)
+    assert(v == Changed)
+    assert(trail == Seq(("watermark", Unknown), ("count", Unknown),
+      ("sample", Changed)),
+      s"full checksum must not run after a decisive sample: $trail")
   }
 
   test("appended rows → Changed via the cheap watermark probe alone") {
@@ -37,15 +61,18 @@ class ChangeDetectSpec extends AnyFunSuite {
     assert(trail == Seq(("watermark", Changed)))
   }
 
-  test("same-count same-ts in-place edit → only the checksum sees it") {
+  test("same-count same-ts edit OUTSIDE the sample → only the full checksum sees it") {
     import spark.implicits._
+    val inSample = sampledUrls(200L)
+    val target = PagesGen.pages(spark, 200L).collect()
+      .map(_.url).filterNot(inSample.contains).min
     val edited = PagesGen.pages(spark, 200L)
-      .map(p => if (p.url.endsWith("/7")) p.copy(text = p.text + " edited")
+      .map(p => if (p.url == target) p.copy(text = p.text + " edited")
                 else p)
     val (v, trail) = detectChange(edited, dir)
     assert(v == Changed)
     assert(trail == Seq(("watermark", Unknown), ("count", Unknown),
-      ("checksum", Changed)))
+      ("sample", Unknown), ("checksum", Changed)))
   }
 
   test("count change with clamped timestamps → the count probe decides") {
@@ -106,6 +133,20 @@ class ChangeDetectSpec extends AnyFunSuite {
     val probe = probeTarget(spark, Seq(base, delta))
     assert(probe == delta, s"probed $probe")
     assert(detectChange(edited, probe)._1 == Unchanged)
+  }
+
+  test("legacy fingerprint without sample fields → sample rung Unknown, checksum decides") {
+    val d = SparkTestSession.tmpDir("graft_cd_legacy")
+    val pages = PagesGen.pages(spark, 50L)
+    writeFingerprint(pages, d)
+    val fp = IndexPaths.parseFlatJson(
+      IndexPaths.readString(spark, s"$d/fingerprint.json"))
+    IndexPaths.writeString(spark, s"$d/fingerprint.json",
+      s"""{"count":${fp("count")},"checksum":"${fp("checksum")}"}""")
+    val (v, trail) = detectChange(pages, d)
+    assert(v == Unchanged)
+    assert(trail == Seq(("watermark", Unknown), ("count", Unknown),
+      ("sample", Unknown), ("checksum", Unchanged)))
   }
 
   test("no sidecars → Unknown with a full Unknown trail") {

@@ -70,6 +70,25 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(labelsOf(Seq.empty).isEmpty)
   }
 
+  test("reliable checkpoint dir converges to identical labels") {
+    // cluster deployment mode: per-round lineage truncation goes to a
+    // durable checkpoint instead of localCheckpoint — same algorithm,
+    // same result, recoverable across executor loss
+    val rnd = new scala.util.Random(91)
+    val pairs = Seq.fill(60)(
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val ckDir = SparkTestSession.tmpDir("graft_cc_ckpt")
+    val durable = Dedup.clusters(pairsDf(pairs), "doc_a", "doc_b",
+        checkpointDir = Some(ckDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(durable == unionFind(pairs))
+    // the checkpoint dir was actually used (durable round files exist)
+    val wrote = new java.io.File(ckDir).listFiles()
+    assert(wrote != null && wrote.nonEmpty,
+      s"no reliable checkpoints written under $ckDir")
+  }
+
   test("dedupCorpus keeps cluster minima plus untouched singletons") {
     import spark.implicits._
     val docs = (1L to 8L).map(i => (i, s"text $i")).toDF("doc_id", "text")
