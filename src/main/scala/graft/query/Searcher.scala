@@ -430,8 +430,17 @@ object Searcher {
         }.toArray
         val floor = bcTheta0.value.getOrElse(qid, Double.NegativeInfinity)
         val mask: Long => Boolean = bcTomb.value.fn
+        val termIdxs = bySkey.keysIterator.map(_._1).toSet
         val top =
-          if (isAnd) {
+          if (!isAnd && termIdxs.size == 1) {
+            // the whole task is ONE term (single-term query, possibly
+            // many salted sub-runs): per-posting scores are
+            // independent — impact-ordered block evaluation with
+            // early termination replaces the degenerate WAND merge
+            val rows = bySkey.valuesIterator.flatten.toArray
+            Wand.singleTermTopK(rows.map(_._5), rows.head._4, avgdl,
+              depth, lo, hi, floor, mask, norms.dl)
+          } else if (isAnd) {
             val order = bcDfOrder.value(qid)
             // every term group must be present in this range's cursor
             // set is NOT required: absent group just means no match in

@@ -71,6 +71,45 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("singleTermTopK == exhaustiveOr over salted sub-runs, windows, floors") {
+    val rnd = new Random(4321)
+    val n = 10000L
+    (0 until 60).foreach { trial =>
+      val blockSize = 1 + rnd.nextInt(16)
+      val k = 1 + rnd.nextInt(12)
+      val count = 1 + rnd.nextInt(400)
+      val postings = randPostings(rnd, 2000L, count)
+      val df = postings.size.toLong
+      val idf = BM25.idf(n, df)
+      val dl = dlOf(postings)
+      // split into salted sub-runs by docId hash, like the builder
+      val salts = 1 + rnd.nextInt(4)
+      val subRuns = postings.groupBy(p => (p._1 % salts).toInt).toSeq
+      val blocks = subRuns.flatMap { case (s, ps) =>
+        mkBlocks(s"t0#$s", ps, blockSize)
+      }.toArray
+      val (lo, hi) =
+        if (rnd.nextBoolean()) (0L, Long.MaxValue)
+        else { val a = rnd.nextLong().abs % 2000L
+               (a, a + rnd.nextLong().abs % 2000L) }
+      def cursors() = subRuns.map { case (_, ps) =>
+        mkCursor(0, mkBlocks("t0", ps, blockSize), n, df, dl, lo, hi)
+      }.toArray
+      val want = Wand.exhaustiveOr(cursors(), k)
+      // exact kth score as the tightest valid floor (nextDown: ties
+      // at the floor must survive, same contract as the probe)
+      val floor =
+        if (want.length >= k && rnd.nextBoolean())
+          Math.nextDown(want.last._2)
+        else Double.NegativeInfinity
+      val got = Wand.singleTermTopK(blocks, idf, avgdl, k, lo, hi,
+        floor, null, dl)
+      assert(got.toSeq == want.toSeq,
+        s"trial $trial: singleTermTopK != exhaustive " +
+          s"(salts=$salts k=$k window=[$lo,$hi))")
+    }
+  }
+
   test("wandOr with the TIGHTEST valid floor (exact kth score) is exact") {
     val rnd = new Random(777)
     val n = 10000L
