@@ -103,6 +103,12 @@ object Bench {
     // sf0.1 in round 1) and misreports its own cost.
     try SparkEntry.queries("ft_doclen")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // streaming-path warmup: st_sessionize sorts alphabetically FIRST
+    // among the streaming queries, so without this it absorbs the
+    // whole Structured-Streaming class-load + codegen cost (~6 s cold
+    // vs ~2.4 s warm at sf0.1) and misreports itself
+    try SparkEntry.queries("st_stream_agg")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // the entry index is a build ARTIFACT shared by all engine-backed
     // queries; ensure it untimed (index_build is measured separately —
     // round 2's first run charged a 13 s one-time build to whichever
@@ -110,6 +116,19 @@ object Bench {
     try EntryIndex.ensure(spark, sfDir)
     catch { case _: Throwable => () }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // ANN artifacts are build artifacts too: ensure them here and
+    // report the one-time cost as its OWN metric instead of charging
+    // it to whichever sim_* query hits a cold content-tag cache first
+    // (round-5's trained quantizer made that hidden charge visible)
+    val (_, annSecs) = time {
+      try {
+        graft.pipeline.AnnIndex.ensureIvf(spark, sfDir,
+          numCentroids = 16, trainIters = 2)
+        graft.pipeline.AnnIndex.ensureLsh(spark, sfDir, numPlanes = 6,
+          numTables = 4, seed = 42L)
+      } catch { case _: Throwable => () }
+    }
+    results("ann_build") = annSecs
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // record -1 (excluded from the total by the filter below) when
       // the query FAILS — recording its time-to-failure would silently

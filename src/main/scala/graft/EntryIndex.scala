@@ -153,10 +153,13 @@ object EntryIndex {
             nTerms: Int, k: Int): DataFrame = {
     import spark.implicits._
     val idx = ensure(spark, dir)
-    val text = spark.read.parquet(s"$dir/documents.parquet")
+    val seedRows = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") === seedId)
-      .select(col("text")).as[String].head()
-    val toks = graft.functions.Tokenize.tokens(text).distinct.toSeq
+      .select(col("text")).as[String].head(1)
+    require(seedRows.nonEmpty,
+      s"more-like-this seed doc $seedId not found in $dir/documents.parquet")
+    val toks = graft.functions.Tokenize.tokens(seedRows.head)
+      .distinct.toSeq
     val metas = Searcher.termMetas(spark, Seq(idx), toks)
     val seed = toks.flatMap(metas.get(_)).filter(_.df >= 2)
       .sortBy(t => (t.df, t.term)).take(nTerms).map(_.term)

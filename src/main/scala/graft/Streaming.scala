@@ -153,7 +153,8 @@ object Streaming {
     // or start() failure would otherwise leave the whole session pinned
     // to 8 shuffle partitions for every later query
     try {
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_SESS_SHUFFLE", "4"))
     val reader0 = spark.readStream.schema(schema)
     val reader =
       if (maxFilesPerTrigger > 0)
