@@ -129,6 +129,7 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     results("ann_build") = annSecs
+    val opsCtlBefore = cpuControl(4)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // record -1 (excluded from the total by the filter below) when
       // the query FAILS — recording its time-to-failure would silently
@@ -141,6 +142,10 @@ object Bench {
       }
       results(name) = if (ok) secs else -1.0
     }
+    // adjacent machine controls bracket the operator loop: per-query
+    // numbers from a throttled window (this host swings 2-6x between
+    // minute-windows) must carry their own evidence
+    val opsCtlAfter = cpuControl(4)
 
     // 2. index build throughput + query latency at the bench size.
     // Build parallelism is capped at 16 threads: this microVM's host
@@ -155,7 +160,17 @@ object Bench {
     org.apache.spark.sql.SparkSession.clearDefaultSession()
     val sBuild = session(buildCpus)
     val benchRoot = s"/tmp/graft_bench/${nDocs}"
-    val (dps, buildSecs) = buildBench(sBuild, nDocs, s"$benchRoot/idx$buildCpus")
+    // headline throughput = MEDIAN of 3 builds, each with an adjacent
+    // machine control: a single build in a throttled minute-window
+    // (2-6x swings measured on this host) would misreport the engine
+    // by the same factor; per-rep values are all emitted
+    val buildReps = (0 until 3).map { _ =>
+      val c = cpuControl(4)
+      val (d, s) = buildBench(sBuild, nDocs, s"$benchRoot/idx$buildCpus")
+      (d, s, c)
+    }
+    val mid = buildReps.sortBy(_._1).apply(buildReps.size / 2)
+    val (dps, buildSecs) = (mid._1, mid._2)
     results("index_build") = buildSecs
     val qs = QuerySet.queries()
     // adjacent machine control brackets the latency loop: the round-4
@@ -194,8 +209,13 @@ object Bench {
         .trim.take(40)
       f""""$label":$s%.3f"""
     }.mkString("{", ",", "}")
+    val buildRepsJson = buildReps
+      .map(r => f"""{"dps":${r._1}%.1f,"secs":${r._2}%.1f,"ctl_hps":${r._3}%.3e}""")
+      .mkString("[", ",", "]")
     val latExtra = f""","query_latencies":$latJson""" +
-      f""","query_ctl_hps":[$ctlBefore%.3e,$ctlAfter%.3e]"""
+      f""","query_ctl_hps":[$ctlBefore%.3e,$ctlAfter%.3e]""" +
+      f""","ops_ctl_hps":[$opsCtlBefore%.3e,$opsCtlAfter%.3e]""" +
+      f""","build_reps":$buildRepsJson"""
     // batch serving mode: the whole query set as ONE scatter/gather
     // job — amortizes the per-job floor (~200ms on this box) that
     // dominates single-query latency
