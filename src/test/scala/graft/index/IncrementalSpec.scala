@@ -80,6 +80,62 @@ class IncrementalSpec extends AnyFunSuite {
     assert(compact.toSeq == multiRaw.toSeq, "compaction != multi-gen search")
   }
 
+  test("dictionary and termDocs merge across generations; tombstones mask") {
+    import spark.implicits._
+    val all = PagesGen.pages(spark, 500L).cache()
+    val cutoff = new java.sql.Timestamp(PagesGen.Epoch + 399L * 37000L)
+    val baseDir = SparkTestSession.tmpDir("graft_dict_base")
+    val deltaDir = SparkTestSession.tmpDir("graft_dict_delta")
+    val fullDir = SparkTestSession.tmpDir("graft_dict_full")
+    IndexBuilder.build(DocIds.fromPages(
+      all.filter($"warc_ts" <= lit(cutoff)), 6), baseDir, cfg, "base")
+    Incremental.writeWatermark(spark, baseDir, cutoff)
+    val fresh = Incremental.newPages(all,
+      Incremental.readWatermark(spark, baseDir))
+    Incremental.buildDelta(fresh, Seq(baseDir), deltaDir, cfg,
+      useExtractor = false)
+    IndexBuilder.build(DocIds.fromPages(all, 6), fullDir, cfg, "full")
+
+    // dictionary across generations: df/cf re-aggregated per term must
+    // equal the full rebuild's dictionary exactly
+    def dict(dirs: Seq[String]) = Searcher.dictionary(spark, dirs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val multi = dict(Seq(baseDir, deltaDir))
+    val full = dict(Seq(fullDir))
+    assert(multi == full, "merged dictionary != full rebuild dictionary")
+    assert(multi.nonEmpty)
+
+    // termDocs across generations: same doc set (by url — ids differ)
+    val terms = Seq("term000000", "term000120")
+    def urlsOf(dirs: Seq[String]) = {
+      val ids = Searcher.termDocs(spark, dirs, terms)
+        .select("doc_id").distinct()
+      dirs.map(d => spark.read.parquet(s"$d/docs")
+          .select($"docId".as("doc_id"), $"url"))
+        .reduce(_ unionByName _)
+        .join(ids, "doc_id").select("url")
+        .as[String].collect().toSet
+    }
+    val mUrls = urlsOf(Seq(baseDir, deltaDir))
+    assert(mUrls == urlsOf(Seq(fullDir)) && mUrls.nonEmpty)
+
+    // tombstoned base versions never surface from termDocs
+    val victimIds = Searcher.termDocs(spark, Seq(baseDir, deltaDir),
+      Seq("term000000")).select("doc_id").as[Long].head(2).toSeq
+    // the full tombstone protocol (buildDelta's): parquet first, then
+    // the strided sidecar + manifest — maskFor's small-set path reads
+    // the parquet
+    victimIds.toDF("docId").write.mode("overwrite")
+      .parquet(s"$deltaDir/tombstones")
+    Tombstones.write(victimIds.toDS(), deltaDir)
+    val after = Searcher.termDocs(spark, Seq(baseDir, deltaDir),
+      Seq("term000000")).select("doc_id").as[Long].collect().toSet
+    assert(victimIds.forall(!after.contains(_)),
+      s"tombstoned ids $victimIds still surfaced")
+    all.unpersist()
+  }
+
   test("re-crawl upsert: new content wins; compaction == full rebuild") {
     import spark.implicits._
     val nBase = 800
