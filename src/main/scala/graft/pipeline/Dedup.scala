@@ -378,6 +378,28 @@ object Dedup {
     * from the pair graph are implicit singletons (callers treat
     * missing as cluster_id = doc_id — [[dedupCorpus]] does).
     */
+  /** Edge-count switch point between the driver union-find fast path
+    * and the distributed large-star/small-star loop (override per
+    * session with `graft.cc.driverThreshold`; tests use 0 to force the
+    * loop on small data). Size-adaptive strategy selection is the
+    * reference's own pattern
+    * (/root/reference/packages/core/spheraform_core/services/download.py:38-79),
+    * and this is the [[graft.index.Tombstones.broadcastThreshold]]
+    * shape: below the bound, the coordinator IS a machine — 10^6
+    * edges union-find in milliseconds, where the distributed loop
+    * pays a multi-stage scheduling floor per round. A thresholded
+    * near-dup graph is usually orders of magnitude smaller than its
+    * corpus (255 edges from 5 000 sf0.1 docs), so the common case is
+    * the fast path; an adversarial/boilerplate-heavy corpus whose
+    * pair graph exceeds the bound takes the loop, which no driver
+    * could hold.
+    */
+  val DefaultCcDriverThreshold = 1000000L
+
+  private def ccDriverThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.cc.driverThreshold")
+      .map(_.toLong).getOrElse(DefaultCcDriverThreshold)
+
   /** @param checkpointDir when set, each CC round truncates lineage
     *        with a RELIABLE checkpoint into this directory instead of
     *        a localCheckpoint — the cluster deployment mode: an
@@ -445,6 +467,36 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct(), eager = false)
     var curSig = signature(cur)
+    // Size-adaptive fast path: a bounded edge set resolves by driver
+    // union-find in one collect (≤ threshold × 16 B ≈ 16 MB) — the
+    // distributed loop's multi-stage scheduling floor per round is
+    // pure overhead at this size, and the RESULT is identical (same
+    // min-root labels, spec'd against the loop). The count gating the
+    // collect comes from the signature job that already ran.
+    if (curSig._1 > 0 && curSig._1 <= ccDriverThreshold(spark)) {
+      import spark.implicits._
+      val edges = cur.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      edges.foreach { case (u, v) =>
+        val ru = find(u); val rv = find(v)
+        // union by MIN root: the surviving root is always the
+        // component minimum — the distributed loop's labeling rule
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val labeled = edges.iterator
+        .flatMap(e => Iterator(e._1, e._2)).toSet.toSeq
+        .map((id: Long) => (id, find(id))).sortBy(_._1)
+      return spark.createDataset(labeled).toDF("doc_id", "cluster_id")
+    }
     var converged = curSig._1 == 0L
     var it = 0
     // Right-size the loop's shuffle width to the PAIR GRAPH, not the

@@ -50,9 +50,12 @@ class DedupClusterSpec extends AnyFunSuite {
 
   test("long path (worst case for label propagation) converges") {
     // a 24-node path: large-star/small-star must collapse it within
-    // the iteration budget (log^2 n), where naive propagation needs n
+    // the iteration budget (log^2 n), where naive propagation needs n.
+    // Loop FORCED — this is the distributed algorithm's worst case,
+    // and the size-adaptive switch would otherwise hide it behind the
+    // driver fast path
     val path = (0L until 23L).map(i => i -> (i + 1))
-    val got = labelsOf(path)
+    val got = withLoopForced(labelsOf(path))
     assert(got.size == 24 && got.values.forall(_ == 0L))
   }
 
@@ -70,18 +73,42 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(labelsOf(Seq.empty).isEmpty)
   }
 
+  /** Force the DISTRIBUTED large-star/small-star loop (the default
+    * size-adaptive switch would take the driver union-find fast path
+    * on test-sized graphs).
+    */
+  def withLoopForced[T](body: => T): T = {
+    spark.conf.set("graft.cc.driverThreshold", "0")
+    try body finally spark.conf.unset("graft.cc.driverThreshold")
+  }
+
+  test("driver fast path == forced distributed loop on random graphs") {
+    val rnd = new scala.util.Random(55)
+    (0 until 3).foreach { _ =>
+      val pairs = Seq.fill(50)(
+        (rnd.nextInt(35).toLong, rnd.nextInt(35).toLong))
+        .filter(p => p._1 != p._2)
+      val fast = labelsOf(pairs) // default threshold → fast path
+      val loop = withLoopForced(labelsOf(pairs))
+      assert(fast == loop && fast == unionFind(pairs))
+    }
+  }
+
   test("reliable checkpoint dir converges to identical labels") {
     // cluster deployment mode: per-round lineage truncation goes to a
     // durable checkpoint instead of localCheckpoint — same algorithm,
-    // same result, recoverable across executor loss
+    // same result, recoverable across executor loss. Loop forced: the
+    // fast path never needs a checkpoint
     val rnd = new scala.util.Random(91)
     val pairs = Seq.fill(60)(
       (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
       .filter(p => p._1 != p._2)
     val ckDir = SparkTestSession.tmpDir("graft_cc_ckpt")
-    val durable = Dedup.clusters(pairsDf(pairs), "doc_a", "doc_b",
-        checkpointDir = Some(ckDir))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val durable = withLoopForced {
+      Dedup.clusters(pairsDf(pairs), "doc_a", "doc_b",
+          checkpointDir = Some(ckDir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
     assert(durable == unionFind(pairs))
     // the checkpoint dir was actually used (durable round files exist)
     val wrote = new java.io.File(ckDir).listFiles()
