@@ -349,6 +349,20 @@ object SparkEntry {
         "embedding", 2L)
       AnnIndex.ivfTopK(s, dir, q, 2L, 20, probes = 4)
     }),
+    "sim_ivf_delta" -> ((s, d) => {
+      // generation-served ANN: base artifact over vec_id < 350 plus a
+      // DELTA generation assigned under the base's committed centroids
+      // (AnnIndex.buildIvfDelta) — served together by ivfTopKMulti
+      // with the same partition pruning per generation. Untrained
+      // quantizer → exactly a full rebuild over the merged corpus, so
+      // the full-corpus SQL oracle checks the delta machinery end to
+      // end
+      val (base, delta) = AnnIndex.ensureIvfSplit(s, d,
+        numCentroids = 16, splitAt = 350L)
+      val q = AnnIndex.lookupVec(t(s, d, "embeddings"), "vec_id",
+        "embedding", 2L)
+      AnnIndex.ivfTopKMulti(s, Seq(base, delta), q, 2L, 20, probes = 4)
+    }),
     // ---- additional relational surface ------------------------------
     "ft_phrase" -> ((s, d) =>
       // phrase search = AND candidates + exact token-adjacency verify;
@@ -659,6 +673,8 @@ object SparkEntry {
     "mm_frames" -> data.MultimodalFixtures.framesOracleSql,
     "mm_resize" -> data.MultimodalFixtures.resizeOracleSql,
     "sim_ivf_ann" -> OracleSql.ivfTopK(2L, 20, 16, 4, trainIters = 2),
+    // base + delta generations must equal the full-corpus formulation
+    "sim_ivf_delta" -> OracleSql.ivfTopK(2L, 20, 16, 4, trainIters = 0),
     "ft_token_count" -> ("SELECT doc_id, " +
       "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), " +
       "x -> x <> '')) AS BIGINT) AS ws_tokens, " +

@@ -460,6 +460,38 @@ object AnnIndex {
       }
     }
 
+  /** Build-once base + delta IVF pair over a deterministic id split of
+    * `<sfDir>/embeddings.parquet` — the contract surface for
+    * generation serving: base indexes vec_id < splitAt, the delta
+    * assigns the rest under the base's committed centroids, and
+    * [[ivfTopKMulti]](base, delta) equals a full rebuild exactly
+    * (untrained quantizer; splitAt > numCentroids keeps the centroid
+    * rule identical).
+    */
+  def ensureIvfSplit(spark: SparkSession, sfDir: String,
+                     numCentroids: Int,
+                     splitAt: Long): (String, String) = synchronized {
+    require(splitAt > numCentroids,
+      s"splitAt $splitAt must exceed numCentroids $numCentroids " +
+        "(the base must contain every untrained centroid)")
+    val src = s"$sfDir/embeddings.parquet"
+    val tag = IndexPaths.contentTag(spark, src)
+    val emb = spark.read.parquet(src)
+    val baseDir = s"${CacheRoot}/v1_ivfb${numCentroids}s${splitAt}_$tag"
+    val deltaDir = s"${CacheRoot}/v1_ivfd${numCentroids}s${splitAt}_$tag"
+    val baseLine = s"ivf;c=$numCentroids;it=0;src=b${splitAt}_$tag"
+    publish(spark, baseDir, baseLine) { tmp =>
+      buildIvf(emb.filter(col("vec_id") < splitAt), "vec_id",
+        "embedding", tmp, numCentroids, lineage = s"b${splitAt}_$tag")
+    }
+    publish(spark, deltaDir,
+      s"ivf_delta;base=$baseLine;src=d${splitAt}_$tag") { tmp =>
+      buildIvfDelta(emb.filter(col("vec_id") >= splitAt), "vec_id",
+        "embedding", baseDir, tmp, lineage = s"d${splitAt}_$tag")
+    }
+    (baseDir, deltaDir)
+  }
+
   /** Build-once LSH artifact over `<sfDir>/embeddings.parquet`. */
   def ensureLsh(spark: SparkSession, sfDir: String, numPlanes: Int,
                 numTables: Int, seed: Long): String = synchronized {
