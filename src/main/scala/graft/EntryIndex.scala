@@ -90,14 +90,61 @@ object EntryIndex {
     */
   def searchDf(spark: SparkSession, dir: String, query: String, k: Int,
                mode: Searcher.Mode, offset: Int = 0): DataFrame = {
-    import spark.implicits._
     val idx = ensure(spark, dir)
-    Searcher.search(spark, idx, Seq(QuerySpec(0L, query)), k, mode,
-      numRanges = 4, offset = offset)
+    searchDfMulti(spark, Seq(idx), query, k, mode, offset)
+  }
+
+  /** [[searchDf]] over several index GENERATIONS (base + deltas). */
+  def searchDfMulti(spark: SparkSession, dirs: Seq[String],
+                    query: String, k: Int, mode: Searcher.Mode,
+                    offset: Int = 0): DataFrame = {
+    import spark.implicits._
+    Searcher.searchMulti(spark, dirs, Seq(QuerySpec(0L, query)), k,
+      mode, numRanges = 4, offset = offset)
       .select($"rank".cast("long").as("rank"), $"docId".as("doc_id"),
         round($"score", 4).as("score_r"))
       .orderBy("rank")
   }
+
+  /** Build-once base + delta GENERATIONS of the entry index over a
+    * deterministic doc_id split (midpoint of the id range) — the
+    * contract surface for incremental text-index serving: searchMulti
+    * merges global stats exactly (N, avgdl, per-term df), so serving
+    * both generations is rank-identical to one full index and the
+    * same full-corpus BM25 oracle checks it.
+    */
+  def ensureSplit(spark: SparkSession, dir: String): Seq[String] =
+    synchronized {
+      import spark.implicits._
+      val src = s"$dir/documents.parquet"
+      val tag = IndexPaths.contentTag(spark, src)
+      val mid = spark.read.parquet(src)
+        .agg(max($"doc_id")).head().getLong(0) / 2
+      val base = s"/tmp/graft_entry_index/v10_b${mid}_$tag"
+      val delta = s"/tmp/graft_entry_index/v10_d${mid}_$tag"
+      val cfg = IndexBuilder.Config(numBuckets = 8, blockSize = 64,
+        numGroups = 2, saltTarget = 300L, withPositions = true)
+      def docsFor(pred: org.apache.spark.sql.Column) =
+        spark.read.parquet(src).filter(pred)
+          .select($"doc_id".as("docId"),
+            concat(lit("doc://"), $"doc_id").as("url"), $"text")
+          .as[Doc]
+      def ensureGen(idx: String, pred: org.apache.spark.sql.Column,
+                    id: String): Unit = {
+        val statsP = new org.apache.hadoop.fs.Path(s"$idx/stats.json")
+        val f = IndexPaths.fs(spark, idx)
+        if (f.exists(statsP)) {
+          // refresh last-use so the sibling TTL sweep keeps it alive
+          try f.setTimes(statsP, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () }
+        } else IndexBuilder.build(docsFor(pred), idx, cfg,
+          buildId = s"entry-$id", resume = true,
+          lineage = s"$id$mid:$src")
+      }
+      ensureGen(base, col("doc_id") <= mid, "b")
+      ensureGen(delta, col("doc_id") > mid, "d")
+      Seq(base, delta)
+    }
 
   /** Engine-served phrase search (positional postings) → doc_id rows,
     * ordered — semantics identical to the normalized-substring oracle.

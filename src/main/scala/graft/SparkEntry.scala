@@ -230,6 +230,16 @@ object SparkEntry {
       // bounds internally target depth offset+k
       EntryIndex.searchDf(s, d, "data join", 10, Searcher.Or,
         offset = 10)),
+    "ft_bm25_gens" -> ((s, d) => {
+      // incremental serving contract: base + delta index GENERATIONS
+      // (deterministic doc_id midpoint split, EntryIndex.ensureSplit)
+      // served through Searcher.searchMulti, which merges global
+      // stats exactly (N = ΣnumDocs, avgdl = Σtok/ΣN, per-term
+      // df = Σdf) — so serving two generations is rank-identical to
+      // one full index and the SAME full-corpus BM25 oracle checks it
+      val gens = EntryIndex.ensureSplit(s, d)
+      EntryIndex.searchDfMulti(s, gens, "data join", 10, Searcher.Or)
+    }),
     "ft_fuzzy" -> ((s, d) =>
       // spellcheck / fuzzy term lookup served from the persisted
       // terms/ dictionary artifact (EntryIndex.fuzzyDf): at 10⁹ docs
@@ -575,6 +585,10 @@ object SparkEntry {
       and = true),
     "ft_bm25_page2" -> OracleSql.bm25(Seq("data", "join"), 10,
       and = false, offset = 10),
+    // generation-split serving must equal the full-corpus ranking —
+    // same oracle as ft_bm25_q1 by design
+    "ft_bm25_gens" -> OracleSql.bm25(Seq("data", "join"), 10,
+      and = false),
     "ft_facet_topk" -> OracleSql.bm25FacetLang(Seq("data", "join"), 20),
     "ft_snippet" -> OracleSql.bm25Snippet(Seq("data", "join"), 10,
       window = 4),
