@@ -115,6 +115,13 @@ object Bench {
     // engine query ran first)
     try EntryIndex.ensure(spark, sfDir)
     catch { case _: Throwable => () }
+    // so are the generation-serving artifacts (split + streamed):
+    // first-ever runs pay their one-time builds here, not inside
+    // ft_bm25_gens / ft_bm25_stream
+    try EntryIndex.ensureSplit(spark, sfDir)
+    catch { case _: Throwable => () }
+    try EntryIndex.ensureStream(spark, sfDir)
+    catch { case _: Throwable => () }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // ANN artifacts are build artifacts too: ensure them here and
     // report the one-time cost as its OWN metric instead of charging
@@ -126,6 +133,8 @@ object Bench {
           numCentroids = 16, trainIters = 2)
         graft.pipeline.AnnIndex.ensureLsh(spark, sfDir, numPlanes = 6,
           numTables = 4, seed = 42L)
+        graft.pipeline.AnnIndex.ensureIvfSplit(spark, sfDir,
+          numCentroids = 16, splitAt = 350L)
       } catch { case _: Throwable => () }
     }
     results("ann_build") = annSecs

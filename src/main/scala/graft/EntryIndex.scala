@@ -146,6 +146,48 @@ object EntryIndex {
       Seq(base, delta)
     }
 
+  /** Build-once CONTINUOUSLY-INDEXED generations of the entry index:
+    * the documents table staged as range-split files (a landing
+    * directory), drained by [[Streaming.continuousIndexDocs]] — one
+    * committed generation per micro-batch, exactly-once via the stream
+    * checkpoint. searchMulti over the result is rank-identical to one
+    * full index (exact global-stats merge), so the same full-corpus
+    * BM25 oracle checks the whole ingest→serve loop. All-or-nothing
+    * cache (the AnnIndex publish rule): a root without the completion
+    * marker is torn down and re-streamed — re-staging into a LIVE
+    * checkpoint would double-index the restaged files (new part names
+    * look like new data to the file source).
+    */
+  def ensureStream(spark: SparkSession, dir: String): Seq[String] =
+    synchronized {
+      import spark.implicits._
+      val src = s"$dir/documents.parquet"
+      val tag = IndexPaths.contentTag(spark, src)
+      val root = s"/tmp/graft_entry_index/v10_st_$tag"
+      val marker = new org.apache.hadoop.fs.Path(s"$root/stats.json")
+      val f = IndexPaths.fs(spark, root)
+      if (f.exists(marker)) {
+        // refresh last-use so the sibling TTL sweep keeps it alive
+        try f.setTimes(marker, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+        return Streaming.listGenerations(spark, root)
+      }
+      IndexPaths.delete(spark, root)
+      val staged = s"$root/_staged_docs"
+      spark.read.parquet(src)
+        .select($"doc_id".as("docId"),
+          concat(lit("doc://"), $"doc_id").as("url"), $"text")
+        .repartitionByRange(3, col("docId"))
+        .write.mode("overwrite").parquet(staged)
+      val cfg = IndexBuilder.Config(numBuckets = 8, blockSize = 64,
+        numGroups = 2, saltTarget = 300L, withPositions = true)
+      val gens = Streaming.continuousIndexDocs(spark, staged, root, cfg)
+      IndexPaths.writeString(spark, s"$root/stats.json",
+        s"""{"kind":"stream_root","generations":${gens.size},""" +
+          s""""lineage":"$tag"}""")
+      gens
+    }
+
   /** Engine-served phrase search (positional postings) → doc_id rows,
     * ordered — semantics identical to the normalized-substring oracle.
     */

@@ -226,6 +226,41 @@ object Main {
         println(s"exported ${res.rows} rows in ${res.chunks} chunks " +
           s"(${res.skipped} resumed) as $format -> $outDir")
 
+      case "streamindex" =>
+        // continuous indexing: drain a landing directory of page files
+        // as a Structured Stream — one committed generation per
+        // micro-batch (exactly-once via the stream checkpoint),
+        // re-crawled urls tombstoned. Re-run after new files land to
+        // index only those; serve any time with
+        // `search <gen1,gen2,...>` or compact the tail
+        val pagesDir = args(1)
+        val indexRoot = args(2)
+        val numBuckets = if (args.length > 3) args(3).toInt else 32
+        val saltTarget = if (args.length > 4) args(4).toLong else 250000L
+        // default 8 files/batch: a landing dir written at high
+        // parallelism has many small files, and one generation per
+        // FILE degenerates into a long tail of tiny builds
+        val perTrigger = if (args.length > 5) args(5).toInt else 8
+        val cfg = IndexBuilder.Config(numBuckets = numBuckets,
+          saltTarget = saltTarget, withPositions = true)
+        val gens = Streaming.continuousIndexPages(spark, pagesDir,
+          indexRoot, cfg, maxFilesPerTrigger = perTrigger)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val nDocs = gens.map(g =>
+          graft.index.IndexPaths.readStats(spark, g).numDocs).sum
+        println(s"stream-indexed into ${gens.size} generations " +
+          f"($nDocs docs total) in $secs%.1fs:")
+        gens.foreach { g =>
+          val st = graft.index.IndexPaths.readStats(spark, g)
+          println(s"  $g: docs=${st.numDocs} " +
+            s"docIds=[${st.minDocId},${st.maxDocId}]")
+        }
+        val hint =
+          if (gens.size <= 4) gens.mkString(",")
+          else s"${gens.head},...,${gens.last} (${gens.size} gens)"
+        println(s"serve with: search $hint <k> <terms...>  " +
+          s"— or fold the tail: compact ${gens.size} gens -> one")
+
       case "dedup" =>
         // the full dedup ladder: EXACT pass first (identical text —
         // url-hash ids alone would collide identical rows into one id
@@ -384,6 +419,7 @@ object Main {
       "[buckets] [saltTarget] | search <indexDir[,delta...]> <k> <query...> " +
       "| phrase <indexDir[,delta...]> <word...> | queryset <indexDir> <k> " +
       "| delta <src> <baseDirs> <deltaDir> | compact <gens> <outDir> " +
+      "| streamindex <pagesDir> <indexRoot> [buckets] [saltTarget] [filesPerTrigger] " +
       "| health <src> [stateDir] " +
       "| export <indexDirs> <pagesSrc> <outDir> <format> <query...> " +
       "| dedup <pagesSrc> [keptOutDir] " +

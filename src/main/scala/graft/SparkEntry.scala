@@ -240,6 +240,17 @@ object SparkEntry {
       val gens = EntryIndex.ensureSplit(s, d)
       EntryIndex.searchDfMulti(s, gens, "data join", 10, Searcher.Or)
     }),
+    "ft_bm25_stream" -> ((s, d) => {
+      // continuous-ingest contract: the documents table drained as a
+      // file-source STREAM (one committed index generation per
+      // micro-batch, exactly-once checkpoint —
+      // Streaming.continuousIndexDocs), then served across all
+      // generations; the full-corpus BM25 oracle checks the whole
+      // ingest→serve loop
+      val gens = EntryIndex.ensureStream(s, d)
+      EntryIndex.searchDfMulti(s, gens, "vector hash scan merge", 10,
+        Searcher.Or)
+    }),
     "ft_fuzzy" -> ((s, d) =>
       // spellcheck / fuzzy term lookup served from the persisted
       // terms/ dictionary artifact (EntryIndex.fuzzyDf): at 10⁹ docs
@@ -589,6 +600,10 @@ object SparkEntry {
     // same oracle as ft_bm25_q1 by design
     "ft_bm25_gens" -> OracleSql.bm25(Seq("data", "join"), 10,
       and = false),
+    // stream-ingested generations must equal the full-corpus ranking
+    // — same oracle as ft_bm25_q3 by design
+    "ft_bm25_stream" -> OracleSql.bm25(
+      Seq("vector", "hash", "scan", "merge"), 10, and = false),
     "ft_facet_topk" -> OracleSql.bm25FacetLang(Seq("data", "join"), 20),
     "ft_snippet" -> OracleSql.bm25Snippet(Seq("data", "join"), 10,
       window = 4),

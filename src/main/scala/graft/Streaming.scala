@@ -251,6 +251,131 @@ object Streaming {
     spark.read.parquet(outDir).orderBy("user_id", "session_id")
   }
 
+  // ---------------------------------------------------------- indexing
+
+  private def genDirFor(indexRoot: String, bid: Long): String =
+    f"$indexRoot/gen$bid%05d"
+
+  /** Committed index generations under `indexRoot`, in batch order —
+    * dirs named gen<NNNNN> whose stats.json exists (IndexBuilder
+    * writes it last, so presence = committed).
+    */
+  def listGenerations(spark: SparkSession, indexRoot: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = graft.index.IndexPaths.fs(spark, indexRoot)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.matches("gen\\d+"))
+      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(s"$g/stats.json")))
+      .map(_.toString).sorted.toSeq
+  }
+
+  private def genIdOf(dir: String): Long =
+    dir.split('/').last.stripPrefix("gen").toLong
+
+  /** Shared scaffolding for the continuous-indexing surfaces: a
+    * file-source stream over `srcDir`, drained with AvailableNow, each
+    * micro-batch handed to `handle(batch, batchId)`. The stream
+    * checkpoint (under the index root) makes ingestion EXACTLY-ONCE
+    * across restarts: committed batches never replay; the one
+    * uncommitted batch replays with the SAME files and `handle` must
+    * be idempotent for it (both callers are — a generation dir is
+    * keyed by batchId and deterministically rebuilt). Re-running after
+    * new files land in `srcDir` indexes only the new files — the
+    * harvest loop as a restartable stream.
+    */
+  private def runIndexStream(spark: SparkSession, srcDir: String,
+                             indexRoot: String, maxFilesPerTrigger: Int)
+                            (handle: (DataFrame, Long) => Unit): Seq[String] = {
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", math.max(1, maxFilesPerTrigger))
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) handle(batch, bid)
+        ()
+      }
+      .option("checkpointLocation", s"$indexRoot/_stream_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(600000L), "index stream drain timed out")
+    listGenerations(spark, indexRoot)
+  }
+
+  /** CONTINUOUS INDEXING over a landing directory of page files — the
+    * reference's harvest→index loop run as one restartable Structured
+    * Streaming job (ancestor: resumable chunked ingest,
+    * /root/reference/packages/core/spheraform_core/adapters/base.py:171-199;
+    * here the chunk ledger is the stream checkpoint). Each micro-batch
+    * of page files becomes ONE committed index generation:
+    *  - batch 0 (no earlier generations): a full [[IndexBuilder]]
+    *    build with url-rank docIds;
+    *  - later batches: [[graft.index.Incremental.buildDelta]] over the
+    *    STRICTLY-EARLIER generations (numbering above their maxDocId;
+    *    base list keyed by batchId, not by what happens to be on disk,
+    *    so a replayed batch rebuilds identically), re-crawled urls
+    *    tombstoning their earlier versions.
+    * Serving needs no pause: [[graft.query.Searcher.searchMulti]] over
+    * [[listGenerations]] at any point sees every committed generation
+    * with exact global-stats merge; [[graft.index.Compaction]] folds
+    * generations back into one when the tail grows. At scale the
+    * landing dir is the crawler's output (or an Iceberg incremental
+    * read) and `maxFilesPerTrigger` bounds per-batch build size.
+    */
+  def continuousIndexPages(spark: SparkSession, pagesDir: String,
+                           indexRoot: String,
+                           cfg: graft.index.IndexBuilder.Config,
+                           maxFilesPerTrigger: Int = 1,
+                           allowRecrawl: Boolean = true): Seq[String] = {
+    import spark.implicits._
+    runIndexStream(spark, pagesDir, indexRoot, maxFilesPerTrigger) {
+      (batch, bid) =>
+        val pages = batch.select(
+            col("url"), col("warc_ts"), col("html"), col("text"),
+            col("lang")).as[graft.data.PageRow]
+        val genDir = genDirFor(indexRoot, bid)
+        val bases = listGenerations(spark, indexRoot)
+          .filter(genIdOf(_) < bid)
+        if (bases.isEmpty) {
+          graft.index.IndexBuilder.build(
+            graft.index.DocIds.fromPages(pages,
+              spark.sessionState.conf.numShufflePartitions,
+              useExtractor = true),
+            genDir, cfg, buildId = s"stream$bid", resume = true,
+            lineage = s"stream:$pagesDir#$bid")
+          ()
+        } else {
+          graft.index.Incremental.buildDelta(pages, bases, genDir, cfg,
+            buildId = s"stream$bid", allowRecrawl = allowRecrawl)
+          ()
+        }
+    }
+  }
+
+  /** [[continuousIndexPages]] for PRE-ASSIGNED docIds: streams files
+    * of (docId, url, text) rows and builds one generation per batch
+    * with the ids as given (globally unique by contract — the
+    * documents-table shape). No tombstones, no offset numbering; the
+    * contract surface behind the ft_bm25_stream oracle query.
+    */
+  def continuousIndexDocs(spark: SparkSession, docsDir: String,
+                          indexRoot: String,
+                          cfg: graft.index.IndexBuilder.Config,
+                          maxFilesPerTrigger: Int = 1): Seq[String] = {
+    import spark.implicits._
+    runIndexStream(spark, docsDir, indexRoot, maxFilesPerTrigger) {
+      (batch, bid) =>
+        graft.index.IndexBuilder.build(
+          batch.select(col("docId").cast("long").as("docId"),
+            col("url"), col("text")).as[graft.index.Doc],
+          genDirFor(indexRoot, bid), cfg,
+          buildId = s"stream$bid", resume = true,
+          lineage = s"stream:$docsDir#$bid")
+        ()
+    }
+  }
+
   /** Tumbling event-time window aggregation with a watermark — the
     * canonical streaming shape; used by StreamingSpec.
     */
