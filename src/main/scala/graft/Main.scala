@@ -369,6 +369,29 @@ object Main {
           deltaBase.map(b => s" delta (base $b)").getOrElse("") +
           s" artifact -> $dir")
 
+      case "anncompact" =>
+        // fold an ANN generation chain back into one base artifact
+        // anncompact <base,delta,...> <outDir> ivf|lsh [--train N]
+        // --train N (ivf): retrain the quantizer over the merged
+        //   corpus, warm-started from the base's centroids
+        val dirs = args(1).split(",").toSeq
+        val out = args(2)
+        val train = args.indexOf("--train") match {
+          case i if i >= 0 && i + 1 < args.length => args(i + 1).toInt
+          case i if i >= 0 =>
+            throw new IllegalArgumentException("--train needs a value")
+          case _ => 0
+        }
+        args(3) match {
+          case "ivf" => pipeline.AnnIndex.compactIvf(spark, dirs, out,
+            lineage = args(1), retrainIters = train)
+          case "lsh" => pipeline.AnnIndex.compactLsh(spark, dirs, out,
+            lineage = args(1))
+          case k => throw new IllegalArgumentException(s"ann kind: $k")
+        }
+        println(s"compacted ${dirs.size} ${args(3)} generations -> $out" +
+          (if (train > 0) s" (retrained $train iters)" else ""))
+
       case "annsearch" =>
         // annsearch <dir[,deltaDir,...]> ivf|lsh <emb.parquet> <queryId> <k>
         val dirs = args(1).split(",").toSeq
@@ -388,7 +411,14 @@ object Main {
           val stats = graft.index.IndexPaths.parseFlatJson(
             graft.index.IndexPaths.readString(spark, s"$dir/ann_stats.json"))
           val srcTag = graft.index.IndexPaths.contentTag(spark, args(3))
-          require(stats.get("lineage").exists(_.endsWith(s"src=$srcTag")),
+          // a COMPACTED artifact's corpus is its input generations
+          // (lineage src=compact(...)) — like multi-dir serving, no
+          // single table tag can equal it; its provenance was fenced
+          // generation-by-generation at compact time (validateGens)
+          val compacted = stats.get("lineage")
+            .exists(_.contains(";src=compact("))
+          require(compacted ||
+            stats.get("lineage").exists(_.endsWith(s"src=$srcTag")),
             s"artifact at $dir was built from a different embeddings " +
               s"table than ${args(3)} — rebuild with annbuild")
         }
@@ -424,5 +454,6 @@ object Main {
       "| export <indexDirs> <pagesSrc> <outDir> <format> <query...> " +
       "| dedup <pagesSrc> [keptOutDir] " +
       "| annbuild <emb.parquet> <dir> ivf|lsh " +
+      "| anncompact <dirs> <outDir> ivf|lsh [--train N] " +
       "| annsearch <dir> ivf|lsh <emb.parquet> <queryId> <k>")
 }

@@ -299,7 +299,12 @@ object Streaming {
       .option("checkpointLocation", s"$indexRoot/_stream_ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(600000L), "index stream drain timed out")
+    // unbounded wait BY DESIGN: a deep landing-dir backlog is many
+    // builds long (a wall bound here would abort a healthy 100 TB
+    // drain mid-stream); build failures still propagate as
+    // StreamingQueryException, and a killed drain resumes from the
+    // checkpoint
+    q.awaitTermination()
     listGenerations(spark, indexRoot)
   }
 

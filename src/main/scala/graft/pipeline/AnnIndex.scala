@@ -67,6 +67,46 @@ object AnnIndex {
     catch { case _: java.io.IOException => () }
   }
 
+  /** Validate a generation chain (head = committed base of `kind`,
+    * tail = `<kind>_delta` artifacts carrying the base's lineage),
+    * mark each as in-use, and return the base's stats. Shared by the
+    * multi-generation serves and compaction so the chain rules can
+    * never drift between them.
+    */
+  private def validateGens(spark: SparkSession, dirs: Seq[String],
+                           kind: String): Map[String, String] = {
+    require(dirs.nonEmpty, s"no ${kind.toUpperCase} artifact dirs")
+    dirs.foreach { d =>
+      require(IndexPaths.exists(spark, statsPath(d)),
+        s"no committed ${kind.toUpperCase} artifact at $d")
+      touch(spark, d) // serve/compact = use: keep the aged sweep off it
+    }
+    val base = IndexPaths.parseFlatJson(
+      IndexPaths.readString(spark, statsPath(dirs.head)))
+    require(base("kind") == kind,
+      s"dirs.head must be the base artifact, got ${base("kind")}")
+    // every delta must have been built against THIS base (IVF: or
+    // probe pruning silently misses its vectors; LSH: or bucket ids
+    // mean different plane families)
+    dirs.tail.foreach { d =>
+      val st = IndexPaths.parseFlatJson(
+        IndexPaths.readString(spark, statsPath(d)))
+      require(st("kind") == s"${kind}_delta" &&
+        st("base") == base("lineage"),
+        s"delta $d was not built against base ${dirs.head}")
+    }
+    base
+  }
+
+  /** Generations with at least one vector — empty ones have no
+    * readable list/bucket partitions and must be dropped from scans.
+    */
+  private def nonEmptyGens(spark: SparkSession,
+                           dirs: Seq[String]): Seq[String] =
+    dirs.filter(d => IndexPaths.parseFlatJson(
+        IndexPaths.readString(spark, statsPath(d)))
+      .get("numVecs").exists(_.toLong > 0))
+
   // ------------------------------------------------------------------
   // IVF
   // ------------------------------------------------------------------
@@ -211,25 +251,7 @@ object AnnIndex {
   def ivfTopKMulti(spark: SparkSession, dirs: Seq[String],
                    queryVec: Seq[Float], queryId: Long, k: Int,
                    probes: Int): DataFrame = {
-    require(dirs.nonEmpty, "no IVF artifact dirs")
-    dirs.foreach { d =>
-      require(IndexPaths.exists(spark, statsPath(d)),
-        s"no committed IVF artifact at $d")
-      touch(spark, d) // serve = use: keep the aged sweep off it
-    }
-    val base = IndexPaths.parseFlatJson(
-      IndexPaths.readString(spark, statsPath(dirs.head)))
-    require(base("kind") == "ivf",
-      s"dirs.head must be the base artifact, got ${base("kind")}")
-    // every delta must have been assigned against THIS base's
-    // centroids, or probe pruning silently misses its vectors
-    dirs.tail.foreach { d =>
-      val st = IndexPaths.parseFlatJson(
-        IndexPaths.readString(spark, statsPath(d)))
-      require(st("kind") == "ivf_delta" &&
-        st("base") == base("lineage"),
-        s"delta $d was not built against base ${dirs.head}")
-    }
+    val base = validateGens(spark, dirs, "ivf")
     // wrong-dims queries would silently rank on null cosines
     // (zip_with pads) — fail loudly instead, like the LSH serve
     val dims = base.get("dims").map(_.toInt)
@@ -245,10 +267,7 @@ object AnnIndex {
     // an empty delta generation has no readable list partitions —
     // drop it from the scan (the base stays: its centroids define the
     // probe set regardless)
-    val live = dirs.head +: dirs.tail.filter { d =>
-      IndexPaths.parseFlatJson(IndexPaths.readString(spark, statsPath(d)))
-        .get("numVecs").exists(_.toLong > 0)
-    }
+    val live = dirs.head +: nonEmptyGens(spark, dirs.tail)
     live.map(d => spark.read.parquet(s"$d/lists"))
       .reduce(_ unionByName _)
       .filter(col("cid").isin(qProbes: _*) && col("vid") =!= queryId)
@@ -369,22 +388,7 @@ object AnnIndex {
   def lshTopKMulti(spark: SparkSession, dirs: Seq[String],
                    queryVec: Seq[Float], queryId: Long, k: Int,
                    multiprobe: Int = 2): DataFrame = {
-    require(dirs.nonEmpty, "no LSH artifact dirs")
-    dirs.foreach { d =>
-      require(IndexPaths.exists(spark, statsPath(d)),
-        s"no committed LSH artifact at $d")
-      touch(spark, d) // serve = use: keep the aged sweep off it
-    }
-    val st = IndexPaths.parseFlatJson(
-      IndexPaths.readString(spark, statsPath(dirs.head)))
-    require(st("kind") == "lsh",
-      s"dirs.head must be the base artifact, got ${st("kind")}")
-    dirs.tail.foreach { d =>
-      val ds = IndexPaths.parseFlatJson(
-        IndexPaths.readString(spark, statsPath(d)))
-      require(ds("kind") == "lsh_delta" && ds("base") == st("lineage"),
-        s"delta $d was not built against base ${dirs.head}")
-    }
+    val st = validateGens(spark, dirs, "lsh")
     val np = st("numPlanes").toInt
     val nT = st("numTables").toInt
     val sd = st("seed").toLong
@@ -415,10 +419,7 @@ object AnnIndex {
     // an empty delta generation has no readable bucket partitions —
     // drop it from the scans (same rule as Searcher's empty-generation
     // handling); the base stays even if empty (probe sets don't care)
-    val live = dirs.head +: dirs.tail.filter { d =>
-      IndexPaths.parseFlatJson(IndexPaths.readString(spark, statsPath(d)))
-        .get("numVecs").exists(_.toLong > 0)
-    }
+    val live = dirs.head +: nonEmptyGens(spark, dirs.tail)
     val cands = live.map(d => spark.read.parquet(s"$d/buckets"))
       .reduce(_ unionByName _)
       .filter(probeFilter && col("vid") =!= queryId)
@@ -431,6 +432,96 @@ object AnnIndex {
         round(Similarity.cosine(col("vec"), qArr), 4).as("cos_r"))
       .orderBy(desc("cos_r"), col("vec_id"))
       .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // compaction: fold a generation chain back into one base
+  // ------------------------------------------------------------------
+
+  /** Fold an IVF base + delta chain into ONE base artifact — the ANN
+    * tier's [[graft.index.Compaction]] analog. The corpus is read
+    * from the generations' OWN list files (vectors live inline; the
+    * source table is never touched).
+    *  - retrainIters = 0: centroids AND assignments are kept (cid is
+    *    already materialized in every list row) — the rewrite is one
+    *    salted shuffle, and serving the result is EXACTLY
+    *    [[ivfTopKMulti]] over the inputs.
+    *  - retrainIters > 0: Lloyd iterations warm-started from the
+    *    base's committed centroids (the retrain the delta scaladoc
+    *    defers to "the next full rebuild"), then reassign + rewrite —
+    *    recall-per-probe recovers after the frozen-quantizer window.
+    * Output kind = ivf with its own lineage: future deltas chain
+    * against the compacted base, exactly like the text index.
+    */
+  def compactIvf(spark: SparkSession, dirs: Seq[String], outDir: String,
+                 lineage: String, retrainIters: Int = 0,
+                 listSaltTarget: Long = 1L << 20): Unit = {
+    val base = validateGens(spark, dirs, "ivf")
+    val line = s"ivf;c=${base("numCentroids")};it=$retrainIters;" +
+      s"src=compact($lineage)"
+    if (committed(spark, outDir, line)) return
+    IndexPaths.delete(spark, outDir)
+    val live = nonEmptyGens(spark, dirs)
+    require(live.nonEmpty, "nothing to compact: all generations empty")
+    val corpus = live.map(d => spark.read.parquet(s"$d/lists"))
+      .reduce(_ unionByName _) // (vid, vec, cid)
+    val baseCents = spark.read.parquet(s"${dirs.head}/centroids")
+    val cents =
+      if (retrainIters <= 0) baseCents
+      else Similarity.trainCentroids(corpus, "vid", "vec",
+        base("numCentroids").toInt, retrainIters,
+        // 6 dp double init = the trainer's own first-N rule, so
+        // compacting an UNTRAINED base with retrain reproduces
+        // buildIvf(merged, trainIters) bit-exactly (spec'd); on a
+        // trained base (means already 6 dp doubles) it is a no-op
+        init = Some(baseCents.select(col("cid"),
+          transform(col("cvec"), v => round(v.cast("double"), 6))
+            .as("cvec"))))
+    cents.write.mode(SaveMode.Overwrite).parquet(s"$outDir/centroids")
+    val assigned =
+      if (retrainIters <= 0) corpus.select(col("vid"), col("cid"))
+      else Similarity.assignCentroids(corpus, "vid", "vec",
+        spark.read.parquet(s"$outDir/centroids"))
+    val n = writeLists(corpus, "vid", "vec", assigned, s"$outDir/lists",
+      listSaltTarget)
+    IndexPaths.writeString(spark, statsPath(outDir),
+      s"""{"kind":"ivf","numCentroids":${base("numCentroids")},""" +
+        s""""numVecs":$n,"dims":${base("dims")},""" +
+        s""""trainIters":$retrainIters,"lineage":"$line"}""")
+  }
+
+  /** Fold an LSH base + delta chain into one artifact: every
+    * generation shares the base's plane family by construction, so
+    * buckets and the vector store union WITHOUT recompute — pure file
+    * consolidation (the bucket arithmetic never re-runs; serving the
+    * result is exactly [[lshTopKMulti]] over the inputs). Output
+    * kind = lsh; future deltas chain against it.
+    */
+  def compactLsh(spark: SparkSession, dirs: Seq[String], outDir: String,
+                 lineage: String): Unit = {
+    val base = validateGens(spark, dirs, "lsh")
+    val line = s"lsh;p=${base("numPlanes")};t=${base("numTables")};" +
+      s"s=${base("seed")};src=compact($lineage)"
+    if (committed(spark, outDir, line)) return
+    IndexPaths.delete(spark, outDir)
+    val live = nonEmptyGens(spark, dirs)
+    require(live.nonEmpty, "nothing to compact: all generations empty")
+    val vObs = new org.apache.spark.sql.Observation()
+    live.map(d => spark.read.parquet(s"$d/vecs"))
+      .reduce(_ unionByName _)
+      .observe(vObs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/vecs")
+    val nVecs = vObs.get("n").asInstanceOf[Long]
+    live.map(d => spark.read.parquet(s"$d/buckets"))
+      .reduce(_ unionByName _)
+      .repartition(col("t"), col("bkt"))
+      .write.mode(SaveMode.Overwrite).partitionBy("t", "bkt")
+      .parquet(s"$outDir/buckets")
+    IndexPaths.writeString(spark, statsPath(outDir),
+      s"""{"kind":"lsh","numPlanes":${base("numPlanes")},""" +
+        s""""numTables":${base("numTables")},"seed":${base("seed")},""" +
+        s""""dims":${base("dims")},"numVecs":$nVecs,""" +
+        s""""lineage":"$line"}""")
   }
 
   // ------------------------------------------------------------------

@@ -154,11 +154,16 @@ object Similarity {
     * × dims grouped means, fully map-side combinable; no iteration
     * state on the driver beyond the loop counter.
     */
+  /** @param init warm-start centroid set (cid, cvec) — compaction
+    *        retrains from the BASE artifact's committed centroids
+    *        instead of the first-N rule (None keeps first-N).
+    */
   def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                     numCentroids: Int, iters: Int): DataFrame = {
-    var cents = emb.filter(col(idCol) < numCentroids)
+                     numCentroids: Int, iters: Int,
+                     init: Option[DataFrame] = None): DataFrame = {
+    var cents = init.getOrElse(emb.filter(col(idCol) < numCentroids)
       .select(col(idCol).cast("long").as("cid"),
-        transform(col(vecCol), v => round(v.cast("double"), 6)).as("cvec"))
+        transform(col(vecCol), v => round(v.cast("double"), 6)).as("cvec")))
     val vecs = emb.select(col(idCol).cast("long").as("vid"),
       col(vecCol).as("vec"))
     for (_ <- 0 until math.max(0, iters)) {

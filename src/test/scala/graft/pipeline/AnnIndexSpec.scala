@@ -245,4 +245,70 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.lshTopK(spark, dir, Seq(0.1f, 0.2f), 0L, 5)
     }
   }
+
+  test("compaction folds a chain into one base; the chain continues") {
+    val emb = vecsDf(150, 8, 17L)
+    val base = emb.filter(col("vec_id") < 80)
+    val fresh = emb.filter(col("vec_id") >= 80 && col("vec_id") < 120)
+    val fresh2 = emb.filter(col("vec_id") >= 120)
+    val baseDir = SparkTestSession.tmpDir("graft_ann_cp_base")
+    val deltaDir = SparkTestSession.tmpDir("graft_ann_cp_delta")
+    val compDir = SparkTestSession.tmpDir("graft_ann_cp_comp")
+    AnnIndex.buildIvf(base, "vec_id", "embedding", baseDir,
+      numCentroids = 8, lineage = "cb1")
+    AnnIndex.buildIvfDelta(fresh, "vec_id", "embedding", baseDir,
+      deltaDir, lineage = "cd1")
+    val q = AnnIndex.lookupVec(emb, "vec_id", "embedding", 3L)
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // no-retrain compaction: centroids and assignments are kept —
+    // serving the folded artifact is EXACTLY the multi-gen serve
+    AnnIndex.compactIvf(spark, Seq(baseDir, deltaDir), compDir, "c1")
+    val multi = topk(AnnIndex.ivfTopKMulti(spark,
+      Seq(baseDir, deltaDir), q, 3L, 10, probes = 3))
+    val comp = topk(AnnIndex.ivfTopK(spark, compDir, q, 3L, 10,
+      probes = 3))
+    assert(comp == multi && comp.nonEmpty)
+    // the chain CONTINUES off the compacted base: a new delta against
+    // it serves == a full rebuild over all 150 (untrained centroid
+    // rule is vec_id < 8, identical in both worlds)
+    val delta2Dir = SparkTestSession.tmpDir("graft_ann_cp_d2")
+    val fullDir = SparkTestSession.tmpDir("graft_ann_cp_full")
+    AnnIndex.buildIvfDelta(fresh2, "vec_id", "embedding", compDir,
+      delta2Dir, lineage = "cd2")
+    AnnIndex.buildIvf(emb, "vec_id", "embedding", fullDir,
+      numCentroids = 8, lineage = "cf1")
+    assert(topk(AnnIndex.ivfTopKMulti(spark, Seq(compDir, delta2Dir),
+        q, 3L, 10, probes = 3)) ==
+      topk(AnnIndex.ivfTopK(spark, fullDir, q, 3L, 10, probes = 3)),
+      "chain off the compacted base != full rebuild")
+    // retrain-on-compact == a trained build over the merged corpus
+    // (warm start == the trainer's first-N init for an untrained base)
+    val compRt = SparkTestSession.tmpDir("graft_ann_cp_rt")
+    val fullRt = SparkTestSession.tmpDir("graft_ann_cp_rtfull")
+    AnnIndex.compactIvf(spark, Seq(baseDir, deltaDir), compRt, "c2",
+      retrainIters = 2)
+    AnnIndex.buildIvf(emb.filter(col("vec_id") < 120), "vec_id",
+      "embedding", fullRt, numCentroids = 8, lineage = "cf2",
+      trainIters = 2)
+    assert(topk(AnnIndex.ivfTopK(spark, compRt, q, 3L, 10, probes = 3))
+        == topk(AnnIndex.ivfTopK(spark, fullRt, q, 3L, 10, probes = 3)),
+      "retrain-on-compact != trained rebuild over the merged corpus")
+
+    // LSH: pure file consolidation — folded serve == multi-gen serve
+    val lBase = SparkTestSession.tmpDir("graft_ann_cp_lb")
+    val lDelta = SparkTestSession.tmpDir("graft_ann_cp_ld")
+    val lComp = SparkTestSession.tmpDir("graft_ann_cp_lc")
+    AnnIndex.buildLsh(base, "vec_id", "embedding", lBase,
+      numPlanes = 6, numTables = 3, seed = 42L, lineage = "lb1")
+    AnnIndex.buildLshDelta(fresh, "vec_id", "embedding", lBase,
+      lDelta, lineage = "ld1")
+    AnnIndex.compactLsh(spark, Seq(lBase, lDelta), lComp, "lc1")
+    val qL = AnnIndex.lookupVec(emb, "vec_id", "embedding", 5L)
+    assert(topk(AnnIndex.lshTopK(spark, lComp, qL, 5L, 10,
+        multiprobe = 2)) ==
+      topk(AnnIndex.lshTopKMulti(spark, Seq(lBase, lDelta), qL, 5L, 10,
+        multiprobe = 2)),
+      "LSH compaction != multi-gen serve")
+  }
 }
