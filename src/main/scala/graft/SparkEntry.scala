@@ -384,6 +384,17 @@ object SparkEntry {
         "embedding", 2L)
       AnnIndex.ivfTopKMulti(s, Seq(base, delta), q, 2L, 20, probes = 4)
     }),
+    "sim_ivf_compact" -> ((s, d) => {
+      // ANN compaction contract: the base+delta chain folded into ONE
+      // artifact (AnnIndex.compactIvf — corpus read from the
+      // generations' own lists, assignments kept) must serve
+      // identically to the full-corpus IVF oracle
+      val dir = AnnIndex.ensureIvfCompact(s, d, numCentroids = 16,
+        splitAt = 350L)
+      val q = AnnIndex.lookupVec(t(s, d, "embeddings"), "vec_id",
+        "embedding", 2L)
+      AnnIndex.ivfTopK(s, dir, q, 2L, 20, probes = 4)
+    }),
     // ---- additional relational surface ------------------------------
     "ft_phrase" -> ((s, d) =>
       // phrase search = AND candidates + exact token-adjacency verify;
@@ -704,6 +715,9 @@ object SparkEntry {
     "sim_ivf_ann" -> OracleSql.ivfTopK(2L, 20, 16, 4, trainIters = 2),
     // base + delta generations must equal the full-corpus formulation
     "sim_ivf_delta" -> OracleSql.ivfTopK(2L, 20, 16, 4, trainIters = 0),
+    // the fold keeps assignments — same full-corpus oracle by design
+    "sim_ivf_compact" -> OracleSql.ivfTopK(2L, 20, 16, 4,
+      trainIters = 0),
     "ft_token_count" -> ("SELECT doc_id, " +
       "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), " +
       "x -> x <> '')) AS BIGINT) AS ws_tokens, " +

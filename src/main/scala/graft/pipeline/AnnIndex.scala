@@ -583,6 +583,26 @@ object AnnIndex {
     (baseDir, deltaDir)
   }
 
+  /** Build-once compacted fold of the [[ensureIvfSplit]] chain — the
+    * contract surface for ANN compaction: serving the fold must equal
+    * the full-corpus IVF oracle (untrained quantizer ⇒ identical
+    * centroid rule; the no-retrain fold keeps every assignment).
+    */
+  def ensureIvfCompact(spark: SparkSession, sfDir: String,
+                       numCentroids: Int, splitAt: Long): String =
+    synchronized {
+      val (base, delta) = ensureIvfSplit(spark, sfDir, numCentroids,
+        splitAt)
+      val tag = IndexPaths.contentTag(spark,
+        s"$sfDir/embeddings.parquet")
+      val dir = s"${CacheRoot}/v1_ivfc${numCentroids}s${splitAt}_$tag"
+      val lin = s"b+d${splitAt}_$tag"
+      publish(spark, dir,
+        s"ivf;c=$numCentroids;it=0;src=compact($lin)") { tmp =>
+        compactIvf(spark, Seq(base, delta), tmp, lineage = lin)
+      }
+    }
+
   /** Build-once LSH artifact over `<sfDir>/embeddings.parquet`. */
   def ensureLsh(spark: SparkSession, sfDir: String, numPlanes: Int,
                 numTables: Int, seed: Long): String = synchronized {
