@@ -267,7 +267,10 @@ object Streaming {
     fs.listStatus(p).map(_.getPath)
       .filter(_.getName.matches("gen\\d+"))
       .filter(g => fs.exists(new org.apache.hadoop.fs.Path(s"$g/stats.json")))
-      .map(_.toString).sorted.toSeq
+      .map(_.toString)
+      // numeric order: a string sort would misplace gen100000 before
+      // gen99999 once batch ids outgrow the zero-padding
+      .sortBy(genIdOf).toSeq
   }
 
   private def genIdOf(dir: String): Long =
