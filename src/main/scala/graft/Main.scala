@@ -167,6 +167,32 @@ object Main {
             s"$nTombs re-crawled urls tombstoned")
         }
 
+      case "gens" =>
+        // index-admin surface: per-generation stats for a chain (or a
+        // streamindex root), tombstone counts, and a compaction hint —
+        // the operability view a long-lived generational index needs
+        val dirs0 = args(1).split(",").toSeq
+        val dirs =
+          if (dirs0.size == 1 &&
+              Streaming.listGenerations(spark, dirs0.head).nonEmpty)
+            Streaming.listGenerations(spark, dirs0.head)
+          else dirs0
+        var docs = 0L; var toks = 0L; var tombs = 0L
+        dirs.foreach { d =>
+          val st = graft.index.IndexPaths.readStats(spark, d)
+          val nT = graft.index.Incremental.tombstoneParquetCount(spark, d)
+          docs += st.numDocs; toks += st.totalTokens; tombs += nT
+          println(f"${d.split('/').last}%-12s docs=${st.numDocs}%-8d " +
+            f"terms=${st.numTerms}%-8d docIds=[${st.minDocId}," +
+            f"${st.maxDocId}] tombstones=$nT")
+        }
+        val avgdl = if (docs == 0) 0.0 else toks.toDouble / docs
+        println(f"total: ${dirs.size} generations, $docs docs " +
+          f"(avgdl=$avgdl%.1f), $tombs tombstoned")
+        if (dirs.size > 4 || tombs > 0)
+          println(s"hint: compact ${dirs.mkString(",").take(60)}... " +
+            s"folds the chain and drops dead docs")
+
       case "health" =>
         // per-source health probe (reference HealthStatus surface):
         // cheap schema + metadata-count check, consecutive-failure
@@ -450,7 +476,7 @@ object Main {
       "| phrase <indexDir[,delta...]> <word...> | queryset <indexDir> <k> " +
       "| delta <src> <baseDirs> <deltaDir> | compact <gens> <outDir> " +
       "| streamindex <pagesDir> <indexRoot> [buckets] [saltTarget] [filesPerTrigger] " +
-      "| health <src> [stateDir] " +
+      "| gens <indexRoot|dir,dir,...> | health <src> [stateDir] " +
       "| export <indexDirs> <pagesSrc> <outDir> <format> <query...> " +
       "| dedup <pagesSrc> [keptOutDir] " +
       "| annbuild <emb.parquet> <dir> ivf|lsh " +
