@@ -257,8 +257,15 @@ object Streaming {
     f"$indexRoot/gen$bid%05d"
 
   /** Committed index generations under `indexRoot`, in batch order —
-    * dirs named gen<NNNNN> whose stats.json exists (IndexBuilder
-    * writes it last, so presence = committed).
+    * dirs named gen<NNNNN> whose build COMPLETED. stats.json presence
+    * alone is NOT the commit marker: multi-group builds write it
+    * BEFORE the segments group loop, so a crash mid-groups would leave
+    * a generation that lists as committed with missing posting buckets
+    * (searchMulti would silently drop their postings — wrong top-k, no
+    * error). A generation counts as committed only when every expected
+    * segments-group checkpoint is COMPLETE — the EntryIndex.ensure
+    * rule, derived here from the layout knobs the build bakes into
+    * every checkpoint's lineage.
     */
   def listGenerations(spark: SparkSession, indexRoot: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(indexRoot)
@@ -266,11 +273,37 @@ object Streaming {
     if (!fs.exists(p)) return Seq.empty
     fs.listStatus(p).map(_.getPath)
       .filter(_.getName.matches("gen\\d+"))
-      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(s"$g/stats.json")))
       .map(_.toString)
+      .filter(g => isCommittedGen(spark, g))
       // numeric order: a string sort would misplace gen100000 before
       // gen99999 once batch ids outgrow the zero-padding
       .sortBy(genIdOf).toSeq
+  }
+
+  /** True iff `dir` holds a COMPLETED build: stats sidecar present and
+    * all segments bucket-group checkpoints committed. The expected
+    * group count comes from the `;b=<buckets>;g=<groups>` knobs in the
+    * checkpoint lineage (groups whose bucket range is empty never
+    * commit — mirror IndexBuilder's loop bounds exactly). Checkpoints
+    * without the knobs (foreign layout) fall back to stats-presence.
+    */
+  private def isCommittedGen(spark: SparkSession, dir: String): Boolean = {
+    if (!graft.index.IndexPaths.exists(spark, s"$dir/stats.json"))
+      return false
+    val segs = new graft.index.CheckpointStore(spark, dir).list()
+      .filter(c => c.stage == "segments" && c.status == "COMPLETE")
+    if (segs.isEmpty) return false
+    def knob(key: String): Option[Int] =
+      s";$key=(\\d+)".r.findFirstMatchIn(segs.head.lineage)
+        .map(_.group(1).toInt)
+    (knob("g"), knob("b")) match {
+      case (Some(g), Some(b)) if g > 0 && b > 0 =>
+        val bpg = math.max(1, math.ceil(b.toDouble / g).toInt)
+        val expected =
+          (0 until g).count(gi => gi * bpg < math.min(b, gi * bpg + bpg))
+        segs.map(_.unit).distinct.size >= expected
+      case _ => true
+    }
   }
 
   private def genIdOf(dir: String): Long =

@@ -217,6 +217,15 @@ object AnnIndex {
     require(base("kind") == "ivf", s"base at $baseDir is ${base("kind")}")
     val line = s"ivf_delta;base=${base("lineage")};src=$lineage"
     if (resume && committed(spark, deltaDir, line)) return
+    // a wrong-dims delta would build "successfully" (cosine's zip_with
+    // pads nulls → garbage assignments) and the serve-time query-dims
+    // fence — which checks the BASE's recorded dims — could never
+    // catch it: fail loudly at build time instead
+    val dDims = newEmb.select(size(col(vecCol))).head(1)
+      .headOption.map(_.getInt(0))
+    dDims.foreach(d => require(base("dims").toInt == 0 ||
+      d == base("dims").toInt,
+      s"delta dims $d != base dims ${base("dims")} ($baseDir)"))
     IndexPaths.delete(spark, deltaDir)
     val cents = spark.read.parquet(s"$baseDir/centroids")
     val assigned =
@@ -257,6 +266,14 @@ object AnnIndex {
     val dims = base.get("dims").map(_.toInt)
     require(dims.forall(_ == queryVec.length),
       s"query dims ${queryVec.length} != artifact dims ${dims.get}")
+    // an EMPTY generation's partitioned parquet has no data files and
+    // spark.read fails schema inference — degrade to an empty result
+    // instead of crashing. An empty BASE means an empty chain (a delta
+    // cannot have been assigned without base centroids).
+    val live = nonEmptyGens(spark, dirs)
+    if (live.isEmpty)
+      return spark.range(0).select(col("id").as("vec_id"),
+        lit(0.0).as("cos_r"))
     val qArr = array(queryVec.map(v => lit(v)).toSeq: _*)
     val qProbes = spark.read.parquet(s"${dirs.head}/centroids")
       .withColumn("qsim",
@@ -264,10 +281,6 @@ object AnnIndex {
       .orderBy(desc("qsim"), col("cid"))
       .limit(probes).select(col("cid"))
       .collect().map(_.getLong(0)).toSeq
-    // an empty delta generation has no readable list partitions —
-    // drop it from the scan (the base stays: its centroids define the
-    // probe set regardless)
-    val live = dirs.head +: nonEmptyGens(spark, dirs.tail)
     live.map(d => spark.read.parquet(s"$d/lists"))
       .reduce(_ unionByName _)
       .filter(col("cid").isin(qProbes: _*) && col("vid") =!= queryId)
@@ -350,6 +363,15 @@ object AnnIndex {
     require(base("kind") == "lsh", s"base at $baseDir is ${base("kind")}")
     val line = s"lsh_delta;base=${base("lineage")};src=$lineage"
     if (resume && committed(spark, deltaDir, line)) return
+    // dims fence (same reasoning as buildIvfDelta): the re-stamp below
+    // inherits the BASE's dims into the delta marker, so a wrong-dims
+    // delta — buckets computed under a different plane dimensionality —
+    // would be unfenceable at serve time; fail at build time
+    val dDims = newEmb.select(size(col(vecCol))).head(1)
+      .headOption.map(_.getInt(0))
+    dDims.foreach(d => require(base("dims").toInt == 0 ||
+      d == base("dims").toInt,
+      s"delta dims $d != base dims ${base("dims")} ($baseDir)"))
     IndexPaths.delete(spark, deltaDir)
     buildLsh(newEmb, idCol, vecCol, deltaDir,
       base("numPlanes").toInt, base("numTables").toInt,
@@ -416,10 +438,14 @@ object AnnIndex {
     val probeFilter = probeSets.zipWithIndex.map { case (bs, t) =>
       col("t") === t && col("bkt").isin(bs.toSeq: _*)
     }.reduce(_ || _)
-    // an empty delta generation has no readable bucket partitions —
-    // drop it from the scans (same rule as Searcher's empty-generation
-    // handling); the base stays even if empty (probe sets don't care)
-    val live = dirs.head +: nonEmptyGens(spark, dirs.tail)
+    // an empty generation has no readable bucket/vecs partitions —
+    // drop it from BOTH scans (probe-set computation above needs only
+    // the stats sidecar); all-empty chains return an empty result
+    // instead of crashing schema inference
+    val live = nonEmptyGens(spark, dirs)
+    if (live.isEmpty)
+      return spark.range(0).select(col("id").as("vec_id"),
+        lit(0.0).as("cos_r"))
     val cands = live.map(d => spark.read.parquet(s"$d/buckets"))
       .reduce(_ unionByName _)
       .filter(probeFilter && col("vid") =!= queryId)

@@ -476,6 +476,12 @@ object Dedup {
     if (curSig._1 > 0 && curSig._1 <= ccDriverThreshold(spark)) {
       import spark.implicits._
       val edges = cur.as[(Long, Long)].collect()
+      // label the SAME node set the distributed path labels: all pair
+      // endpoints including nodes appearing only in self-pairs (u==v,
+      // filtered out of `edges`) — otherwise the two paths diverge on
+      // self-loop-only nodes. Bounded like the edge collect (nodes ≤
+      // 2×pairs).
+      val allNodes = nodes.select(col("id")).as[Long].collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -492,8 +498,7 @@ object Dedup {
         // component minimum — the distributed loop's labeling rule
         if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
       }
-      val labeled = edges.iterator
-        .flatMap(e => Iterator(e._1, e._2)).toSet.toSeq
+      val labeled = allNodes.toSeq
         .map((id: Long) => (id, find(id))).sortBy(_._1)
       return spark.createDataset(labeled).toDF("doc_id", "cluster_id")
     }

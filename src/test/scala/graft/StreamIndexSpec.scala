@@ -122,4 +122,28 @@ class StreamIndexSpec extends AnyFunSuite {
       "compacted streamed generations != latest-version rebuild")
     all.unpersist(false)
   }
+
+  test("a multi-group build crashed mid-segments is NOT a committed " +
+      "generation (stats.json alone is not the commit marker)") {
+    import spark.implicits._
+    val root = SparkTestSession.tmpDir("graft_stream_crashgen")
+    val genDir = s"$root/gen00000"
+    val pages = PagesGen.pages(spark, 200L)
+    val docs = DocIds.fromPages(pages, 4)
+    // numGroups=2: stats.json is written BEFORE the group loop; kill
+    // the build after group 0 commits — the generation must NOT list
+    intercept[RuntimeException] {
+      IndexBuilder.build(docs, genDir, cfg.copy(failAfterGroup = 0),
+        buildId = "crash", resume = true, lineage = "crashgen")
+    }
+    assert(IndexPaths.exists(spark, s"$genDir/stats.json"),
+      "precondition: the crash window leaves stats.json behind")
+    assert(Streaming.listGenerations(spark, root).isEmpty,
+      "a generation with missing segment groups listed as committed")
+    // resuming the build completes the remaining group — now it lists
+    IndexBuilder.build(docs, genDir, cfg,
+      buildId = "crash", resume = true, lineage = "crashgen")
+    assert(Streaming.listGenerations(spark, root)
+      .map(_.stripPrefix("file:")) == Seq(genDir))
+  }
 }
