@@ -58,6 +58,11 @@ object Export {
       s"idx=${indexTag(spark, indexDirs)};src=${srcTag(spark, srcDocs)}"
     prepareOutDir(spark, outDir, ckpt, lineage, resume)
     val t0 = System.currentTimeMillis()
+    // input-sized shuffle width for the hit-set joins (the chunk
+    // writes themselves are filters over the cache — no shuffle);
+    // everything materializes inside writeChunks, so the scope closes
+    graft.Adaptive.withShuffleWidth(spark,
+      graft.Adaptive.widthFor(srcDocs)) {
     val ids = Searcher.conjunctiveDocs(spark, indexDirs, query)
       .toDF("docId")
     val meta = indexDirs.map(d => spark.read.parquet(s"$d/docs")
@@ -76,6 +81,7 @@ object Export {
           s""""query":${jsonStr(query)}}""")
       ExportResult(total, nChunks, skipped)
     } finally rows.unpersist()
+    }
   }
 
   /** Export a filtered corpus slice (no index involved): predicate
@@ -96,6 +102,8 @@ object Export {
       s"p=${tag(predicate.toString)};src=${srcTag(spark, srcDocs)}"
     prepareOutDir(spark, outDir, ckpt, lineage, resume)
     val t0 = System.currentTimeMillis()
+    graft.Adaptive.withShuffleWidth(spark,
+      graft.Adaptive.widthFor(srcDocs)) {
     val rows = srcDocs.filter(predicate)
       .withColumn("chunk",
         pmod(xxhash64(col("url")), lit(nChunks)))
@@ -107,6 +115,7 @@ object Export {
         s"""{"rows":$total,"chunks":$nChunks,"format":"$format"}""")
       ExportResult(total, nChunks, skipped)
     } finally rows.unpersist()
+    }
   }
 
   /** The shared chunk ladder: write-or-skip each chunk, commit after
@@ -114,6 +123,14 @@ object Export {
     * count comes from its checkpoint record — no read job over
     * completed chunks on resume (at high chunk counts a per-chunk
     * listing+count was the dominant resume cost).
+    *
+    * Pending chunks write CONCURRENTLY (a few jobs in flight from
+    * driver threads — guide §2.6: one chunk's stage tail back-fills
+    * with the next chunk's tasks instead of idling the cluster; the
+    * sequential ladder paid one full job latency PER chunk). Commit
+    * semantics are unchanged: each chunk commits only after ITS write
+    * is durable, chunk writes are independent and idempotent
+    * (overwrite), so a crash resumes at exactly the incomplete chunks.
     */
   private def writeChunks(spark: SparkSession, rows: DataFrame,
                           outDir: String, nChunks: Int, resume: Boolean,
@@ -122,37 +139,56 @@ object Export {
                           format: String): (Long, Int) = {
     var total = 0L
     var skipped = 0
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
     (0 until nChunks).foreach { c =>
       val committed = if (resume) ckpt.read(stage, c) else None
       committed.filter(_.status == "COMPLETE") match {
         case Some(done) =>
           skipped += 1
           total += done.rowCount
-        case None =>
-          // row count observed during the write — no re-read job
-          val obs = new org.apache.spark.sql.Observation()
-          val w = rows.filter(col("chunk") === c).drop("chunk")
-            .observe(obs, count(lit(1)).as("n"))
-            .write.mode(SaveMode.Overwrite)
-          val path = s"$outDir/chunk=$c"
-          format match {
-            case "parquet" => w.parquet(path)
-            case "jsonl" => w.json(path)
-            case "csv" =>
-              // RFC4180 quoting (escape = double-quote, not backslash)
-              // and a quoted empty marker: web text contains newlines,
-              // quotes and empty strings, and the default writer
-              // options silently corrupt all three on read-back
-              // (consumers must read with multiLine=true, escape='"')
-              w.option("header", "true").option("escape", "\"")
-                .option("emptyValue", "\"\"").csv(path)
-          }
-          val n = obs.get("n").asInstanceOf[Long]
-          total += n
-          ckpt.commit(Checkpoint("export", stage, c, "COMPLETE", n,
-            IndexPaths.dirBytes(spark, path),
-            lineage, t0, System.currentTimeMillis()))
+        case None => pending += c
       }
+    }
+    if (pending.nonEmpty) {
+      // 2-4 jobs in flight is plenty (guide §2.6) — enough to fill
+      // stage tails, not so many that they fight for task slots
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, pending.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = pending.toSeq.map { c =>
+          scala.concurrent.Future {
+            // row count observed during the write — no re-read job
+            val obs = new org.apache.spark.sql.Observation()
+            val w = rows.filter(col("chunk") === c).drop("chunk")
+              .observe(obs, count(lit(1)).as("n"))
+              .write.mode(SaveMode.Overwrite)
+            val path = s"$outDir/chunk=$c"
+            format match {
+              case "parquet" => w.parquet(path)
+              case "jsonl" => w.json(path)
+              case "csv" =>
+                // RFC4180 quoting (escape = double-quote, not
+                // backslash) and a quoted empty marker: web text
+                // contains newlines, quotes and empty strings, and the
+                // default writer options silently corrupt all three on
+                // read-back (consumers must read with multiLine=true,
+                // escape='"')
+                w.option("header", "true").option("escape", "\"")
+                  .option("emptyValue", "\"\"").csv(path)
+            }
+            val n = obs.get("n").asInstanceOf[Long]
+            ckpt.commit(Checkpoint("export", stage, c, "COMPLETE", n,
+              IndexPaths.dirBytes(spark, path),
+              lineage, t0, System.currentTimeMillis()))
+            n
+          }
+        }
+        total += scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf).sum
+      } finally pool.shutdown()
     }
     (total, skipped)
   }

@@ -51,6 +51,12 @@ object Dedup {
                    maxShingleDf: Long = 100L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the whole pipeline materializes inside (materializeAndFree), so
+    // every shuffle plans under an input-sized width instead of the
+    // cluster-scale session constant (guide §2: derive partitioning
+    // from input size; clamped at the session setting at real scale)
+    graft.Adaptive.withShuffleWidth(spark,
+      graft.Adaptive.widthFor(docs)) {
     // (doc_id, shingle-hash) rows straight from the tokenizer — no
     // shingle ARRAY is ever materialized, and every downstream
     // shuffle/sort/agg keys on a long, not a ~25-char string (the
@@ -116,6 +122,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac_r"))
       .orderBy("doc_a", "doc_b")
       .transform(materializeAndFree(ex))
+    }
   }
 
   /** Materialize the (small — thresholded pairs) result while the
@@ -203,6 +210,10 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = numHashes / bands
+    // input-sized shuffle width (see ngramJaccard) — the result
+    // materializes inside materializeAndFree, so the scope is closed
+    graft.Adaptive.withShuffleWidth(spark,
+      graft.Adaptive.widthFor(docs)) {
     val sh = shingled(docs, idCol, textCol)
     val hashed = sh.as[(Long, Seq[String])].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -286,6 +297,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac_r"))
       .orderBy("doc_a", "doc_b")
     materializeAndFree(hashed)(out)
+    }
   }
 
   /** SimHash per doc (64-bit, hex) — near-dup docs have small hamming
@@ -327,6 +339,10 @@ object Dedup {
       s"4 chunks of 16 bits guarantee recall only for hamming <= 3, got $maxHamming")
     val spark = docs.sparkSession
     import spark.implicits._
+    // input-sized shuffle width (see ngramJaccard) — closed scope via
+    // the internal materialization
+    graft.Adaptive.withShuffleWidth(spark,
+      graft.Adaptive.widthFor(docs)) {
     val sig = simhashSigs(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val s = math.max(1, saltCells)
@@ -352,6 +368,7 @@ object Dedup {
       .filter(col("hamm") <= maxHamming)
       .orderBy("doc_a", "doc_b")
       .transform(materializeAndFree(sig))
+    }
   }
 
   /** Connected components over a near-dup PAIR graph — the step that

@@ -44,21 +44,73 @@ object Similarity {
   }
 
   /** kNN join: for each query vector (id < numQueries), its top-k
-    * neighbors by cosine — broadcast the small query side, window-rank
-    * per query.
+    * neighbors by cosine — broadcast the small query side, then a
+    * BOUNDED top-k instead of a window rank: a row_number window
+    * forces a full sort of the corpus×queries scored set per qid
+    * partition (O(n log n) and corpus-scale state), where each scan
+    * task only ever needs its k best per query. Shape: per-partition
+    * bounded heaps (numQueries × k entries of task state) → tiny
+    * global merge (≤ k rows per partition per qid) via
+    * sort_array+slice. Result rows, tie-breaks and ordering are
+    * identical to the window formulation (same oracle).
     */
   def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
               numQueries: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val q = emb.filter(col(idCol) < numQueries)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val scored = emb.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .join(broadcast(q), col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         round(cosine(col("qvec"), col("nvec")), 4).as("cos_r"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(desc("cos_r"), col("nid"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    val kk = k
+    // Spark's SQL double ordering (nanSafeCompareDoubles): NaN sorts
+    // largest, -0.0 == 0.0 — the heap must match it exactly or the
+    // k-boundary tie-breaks could diverge from the window formulation
+    def cmpD(x: Double, y: Double): Int =
+      if (x < y) -1 else if (x > y) 1
+      else {
+        val nx = java.lang.Double.isNaN(x)
+        val ny = java.lang.Double.isNaN(y)
+        if (nx && ny) 0 else if (nx) 1 else if (ny) -1 else 0
+      }
+    val partials = scored.as[(Long, Long, Double)].mapPartitions { it =>
+      // head = WORST kept (lowest cos_r; tie → highest nid): the
+      // eviction comparator of a (cos_r desc, nid asc) top-k
+      val worstFirst = new java.util.Comparator[(Long, Double)] {
+        def compare(a: (Long, Double), b: (Long, Double)): Int = {
+          val c = cmpD(a._2, b._2)
+          if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+        }
+      }
+      val heaps = scala.collection.mutable.LongMap
+        .empty[java.util.PriorityQueue[(Long, Double)]]
+      it.foreach { case (qid, nid, cos) =>
+        val h = heaps.getOrElseUpdate(qid,
+          new java.util.PriorityQueue[(Long, Double)](kk + 1, worstFirst))
+        if (h.size < kk) h.add((nid, cos))
+        else if (worstFirst.compare((nid, cos), h.peek()) > 0) {
+          h.poll(); h.add((nid, cos))
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        scala.jdk.CollectionConverters.CollectionHasAsScala(h).asScala
+          .map(e => (qid, e._1, e._2))
+      }
+    }.toDF("qid", "nid", "cos_r")
+    // global merge: ≤ k rows per (partition, qid) — sort_array on
+    // struct(cos_r, -nid) desc == (cos_r desc, nid asc), slice the
+    // page, posexplode regenerates rank. No Window node in the plan.
+    partials
+      .groupBy(col("qid"))
+      .agg(slice(sort_array(collect_list(
+        struct(col("cos_r"), (-col("nid")).as("nn"))), asc = false),
+        1, kk).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("qid"), (-col("s.nn")).as("nid"),
+        col("s.cos_r").as("cos_r"),
+        (col("i") + 1).cast("long").as("rank"))
       .orderBy("qid", "rank")
   }
 

@@ -154,7 +154,24 @@ object Searcher {
                   queries: Seq[QuerySpec], k: Int = 10, mode: Mode = Or,
                   numRanges: Int = 8,
                   probeMinTotalDf: Long = 100000L,
-                  offset: Int = 0): Dataset[SearchHit] = {
+                  offset: Int = 0): Dataset[SearchHit] =
+    // The gather shuffle has EXACTLY |queries| × numRanges keys (and
+    // the probe job |queries|): planning it wider than that is pure
+    // per-task scheduling waste, and the whole computation runs
+    // eagerly inside this call (partials.collect) — so the width clamp
+    // is closed-scope. Clamped at the session setting: a big batch
+    // keeps full cluster width.
+    graft.Adaptive.withShuffleWidth(spark,
+      queries.size.toLong * math.max(1, numRanges)) {
+      searchMultiImpl(spark, indexDirs, queries, k, mode, numRanges,
+        probeMinTotalDf, offset)
+    }
+
+  private def searchMultiImpl(spark: SparkSession, indexDirs: Seq[String],
+                  queries: Seq[QuerySpec], k: Int, mode: Mode,
+                  numRanges: Int,
+                  probeMinTotalDf: Long,
+                  offset: Int): Dataset[SearchHit] = {
     import spark.implicits._
     // k <= 0 is a valid degenerate ask (e.g. an empty pagination
     // window) — TopK(0) would crash in the gather tasks

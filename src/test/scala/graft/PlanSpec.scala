@@ -134,4 +134,23 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastNestedLoop"),
       s"centroid side not broadcast:\n$plan")
   }
+
+  test("knnJoin plans bounded top-k, not a window rank") {
+    import spark.implicits._
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (graft.Det.unit(graft.Det.h(7L, i, d)) * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val df = graft.pipeline.Similarity
+      .knnJoin(vecs, "vec_id", "embedding", numQueries = 5, k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    // the window formulation fully sorted the corpus×queries scored
+    // set per qid; the bounded shape is per-partition heaps + a tiny
+    // collect_list merge — no Window node may appear
+    assert(!plan.contains("Window"),
+      s"window crept back into knnJoin:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoop"),
+      s"query side not broadcast:\n$plan")
+  }
 }
