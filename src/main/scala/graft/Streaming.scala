@@ -69,17 +69,31 @@ object Streaming {
   def streamAgg(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = s"graft_stream_agg_${counter.incrementAndGet()}"
-    val q = spark.readStream.schema(schema)
-      .parquet(stageDir(spark, dir))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_users"))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    // a timed-out drain must FAIL, not silently serve the
-    // half-populated memory sink as if it were the final answer
-    require(q.awaitTermination(120000L), "streamAgg drain timed out")
+    // Stateful streaming fixes its state-store count to the shuffle
+    // setting at query start (the sessionize rule): the aggregation
+    // state here is one row per event_type — session-width state
+    // stores are pure per-batch commit overhead. Scoped to query
+    // construction + the synchronous drain; restored after. (At real
+    // scale this knob belongs to the deployment, sized to state
+    // bytes/executor.)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("GRAFT_SESS_SHUFFLE", "4"))
+        val q0 = spark.readStream.schema(schema)
+          .parquet(stageDir(spark, dir))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_users"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        // a timed-out drain must FAIL, not silently serve the
+        // half-populated memory sink as if it were the final answer
+        require(q0.awaitTermination(120000L), "streamAgg drain timed out")
+        q0
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table(name).orderBy("event_type")
   }
 

@@ -659,8 +659,19 @@ object AnnIndex {
     * SHARED across runs, so the pid isolation applies to the build,
     * not the serve path). Also sweeps aged sibling artifacts.
     */
+  /** Artifacts this process already verified committed — the repeat
+    * ensure* calls every sim_* query makes would otherwise re-pay the
+    * aged sweep (a listStatus + marker read per sibling) and the
+    * commit check each time. Keyed by dir|lineage (params + source
+    * content tag), so a changed source misses; the 6 h TTL dwarfs a
+    * process lifetime, so skipping the per-call refresh is safe.
+    */
+  private val publishedMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def publish(spark: SparkSession, dir: String, line: String)(
       build: String => Unit): String = {
+    if (publishedMemo.contains(s"$dir|$line")) return dir
     sweepAged(spark)
     val f = IndexPaths.fs(spark, dir)
     val marker = new org.apache.hadoop.fs.Path(statsPath(dir))
@@ -669,6 +680,7 @@ object AnnIndex {
       // delete an artifact a process keeps serving (serve reads do
       // not touch mtimes)
       f.setTimes(marker, System.currentTimeMillis(), -1)
+      publishedMemo.add(s"$dir|$line")
       return dir
     }
     val tmp = s"${dir}_build${ProcessHandle.current().pid()}"
@@ -690,6 +702,7 @@ object AnnIndex {
     // rename into an existing dir nests) — drop any such duplicate
     f.listStatus(dst).filter(_.getPath.getName.contains("_build"))
       .foreach(s => f.delete(s.getPath, true))
+    publishedMemo.add(s"$dir|$line")
     dir
   }
 
