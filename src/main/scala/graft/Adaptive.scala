@@ -28,15 +28,33 @@ object Adaptive {
     * plan it creates — a lazily returned plan would execute at the
     * RESTORED width.
     */
-  def withShuffleWidth[T](spark: SparkSession, target: Long)(body: => T): T = {
+  def withShuffleWidth[T](spark: SparkSession, target: Long)(body: => T): T =
+    withShuffleWidth(spark, target, disableAqeWhenClamped = false)(body)
+
+  /** As above; `disableAqeWhenClamped` additionally turns AQE off for
+    * the scope WHEN the clamp engages (small input): with the width
+    * already right-sized there is nothing left for AQE to adapt, and
+    * its per-exchange query-stage jobs (one driver round-trip per
+    * materialized stage) dominate small-input operators — the
+    * [[pipeline.Dedup.clusters]] loop rule. At scale the clamp does
+    * not engage and AQE stays on untouched.
+    */
+  def withShuffleWidth[T](spark: SparkSession, target: Long,
+                          disableAqeWhenClamped: Boolean)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev.toLongOption match {
       case Some(p) if target < p =>
+        val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
         try {
           spark.conf.set("spark.sql.shuffle.partitions",
             math.max(1L, target).toString)
+          if (disableAqeWhenClamped)
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
           body
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prev)
+          spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        }
       case _ => body
     }
   }

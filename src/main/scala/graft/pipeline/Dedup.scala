@@ -56,7 +56,7 @@ object Dedup {
     // cluster-scale session constant (guide §2: derive partitioning
     // from input size; clamped at the session setting at real scale)
     graft.Adaptive.withShuffleWidth(spark,
-      graft.Adaptive.widthFor(docs)) {
+      graft.Adaptive.widthFor(docs), disableAqeWhenClamped = true) {
     // (doc_id, shingle-hash) rows straight from the tokenizer — no
     // shingle ARRAY is ever materialized, and every downstream
     // shuffle/sort/agg keys on a long, not a ~25-char string (the
@@ -213,7 +213,7 @@ object Dedup {
     // input-sized shuffle width (see ngramJaccard) — the result
     // materializes inside materializeAndFree, so the scope is closed
     graft.Adaptive.withShuffleWidth(spark,
-      graft.Adaptive.widthFor(docs)) {
+      graft.Adaptive.widthFor(docs), disableAqeWhenClamped = true) {
     val sh = shingled(docs, idCol, textCol)
     val hashed = sh.as[(Long, Seq[String])].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -342,7 +342,7 @@ object Dedup {
     // input-sized shuffle width (see ngramJaccard) — closed scope via
     // the internal materialization
     graft.Adaptive.withShuffleWidth(spark,
-      graft.Adaptive.widthFor(docs)) {
+      graft.Adaptive.widthFor(docs), disableAqeWhenClamped = true) {
     val sig = simhashSigs(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val s = math.max(1, saltCells)
