@@ -86,9 +86,21 @@ object Compaction {
     }
     val written = spark.read.parquet(s"$outDir/docs")
     // 2. postings: decoded once, shared by the terms agg and every
-    //    segments group (persisted for the run's lifetime)
-    val decoded = decodedPostings(spark, liveGens, written)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    //    segments group. Cache-vs-recompute is a CONFIG
+    //    (`graft.compaction.cacheDecoded`, default true): the cache is
+    //    a corpus-scale disk-backed store for the run's lifetime
+    //    (spills rather than OOMs) bought to decode each block once
+    //    across 1 + numGroups consumers; a storage-constrained
+    //    deployment sets false and re-decodes per consumer instead —
+    //    byte-identical output either way (ResumeSpec asserts).
+    val cacheDecoded = spark.conf
+      .getOption("graft.compaction.cacheDecoded").forall(_.toBoolean)
+    val decoded = {
+      val d = decodedPostings(spark, liveGens, written)
+      if (cacheDecoded)
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else d
+    }
     if (!statsDone) {
       val agg0 = written.agg(count(lit(1)), sum($"dl".cast("long")),
         max($"docId"), max($"dl".cast("long")), min($"docId")).head()
@@ -188,7 +200,7 @@ object Compaction {
           throw new RuntimeException(s"injected failure after group $g")
       }
     }
-    decoded.unpersist()
+    if (cacheDecoded) decoded.unpersist()
     // carry the newest watermark forward
     gens.flatMap(d => Incremental.readWatermark(spark, d))
       .sortBy(_.getTime).lastOption

@@ -615,6 +615,11 @@ object Dedup {
                           numBlocks: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // input-sized width for the cell shuffle (B(B+1)/2 keys — session
+    // width is pure waste below that), materialized inside like the
+    // other pair pipelines so the scope closes
+    graft.Adaptive.withShuffleWidth(spark,
+      graft.Adaptive.widthFor(emb), disableAqeWhenClamped = true) {
     val bN = math.max(1, numBlocks)
     val thr = threshold
     val cells = emb.select(col(idCol).cast("long"), col(vecCol))
@@ -669,5 +674,7 @@ object Dedup {
         else None
       }
     }.toDF("id_a", "id_b", "cos_r").orderBy("id_a", "id_b")
+      .transform(materializeAndFree())
+    }
   }
 }

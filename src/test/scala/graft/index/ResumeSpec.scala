@@ -145,5 +145,15 @@ class ResumeSpec extends AnyFunSuite {
     }
     assert(segmentFingerprint(crashDir) == segmentFingerprint(cleanDir),
       "resumed compaction != uninterrupted compaction")
+
+    // cache-vs-recompute knob: graft.compaction.cacheDecoded=false
+    // re-decodes the posting stream per consumer instead of persisting
+    // it for the run — output must be byte-identical to cached mode
+    val recompDir = SparkTestSession.tmpDir("graft_cres_recomp")
+    spark.conf.set("graft.compaction.cacheDecoded", "false")
+    try Compaction.compact(spark, Seq(baseDir, deltaDir), recompDir, cfg)
+    finally spark.conf.unset("graft.compaction.cacheDecoded")
+    assert(segmentFingerprint(recompDir) == segmentFingerprint(cleanDir),
+      "recompute-mode compaction != cached-mode compaction")
   }
 }
