@@ -427,7 +427,20 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
                maxIter: Int = 30,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None): DataFrame =
+    // graph-sized width for the PRE-loop jobs too (edge distinct,
+    // signature, fast-path collects) — the loop already right-sizes
+    // itself, but these ran at session width. Closed scope: both exits
+    // materialize (fast path collects; the loop's labeling checkpoints
+    // eagerly).
+    graft.Adaptive.withShuffleWidth(pairs.sparkSession,
+      graft.Adaptive.widthFor(pairs), disableAqeWhenClamped = true) {
+      clustersImpl(pairs, aCol, bCol, maxIter, checkpointDir)
+    }
+
+  private def clustersImpl(pairs: DataFrame, aCol: String, bCol: String,
+               maxIter: Int,
+               checkpointDir: Option[String]): DataFrame = {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame, eager: Boolean): DataFrame =
