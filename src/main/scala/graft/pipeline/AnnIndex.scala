@@ -446,10 +446,44 @@ object AnnIndex {
     if (live.isEmpty)
       return spark.range(0).select(col("id").as("vec_id"),
         lit(0.0).as("cos_r"))
-    val cands = live.map(d => spark.read.parquet(s"$d/buckets"))
-      .reduce(_ unionByName _)
+    // Read ONLY the probed (t, bkt) partition directories, with
+    // basePath so t/bkt stay partition columns (probeFilter below
+    // still prunes on them — belt and braces, and the serve-plan
+    // pruning contract). Whole-directory discovery listed every one
+    // of the numTables × 2^numPlanes bucket dirs in per-call listing
+    // jobs (measured at sf0.1: 4 jobs × 64 near-empty tasks per
+    // query); the probe set the operator just computed names the only
+    // dirs the query can touch, and its size — numTables × (multiprobe
+    // + 2) — is independent of corpus and bucket count, so serve
+    // listing cost now scales with the probe set, not the artifact.
+    val probed = live.flatMap { d =>
+      probeSets.zipWithIndex.flatMap { case (bs, t) =>
+        bs.toSeq.sorted.map(b => (s"$d/buckets", s"$d/buckets/t=$t/bkt=$b"))
+      }
+    }.filter(p => IndexPaths.exists(spark, p._2))
+    val candReads = probed.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (base, ps) =>
+        spark.read.option("basePath", base).parquet(ps.map(_._2): _*)
+    }
+    // no probed bucket exists in any generation → zero candidates,
+    // the same empty result the filter used to produce
+    if (candReads.isEmpty)
+      return spark.range(0).select(col("id").as("vec_id"),
+        lit(0.0).as("cos_r"))
+    val candIds = candReads.reduce(_ unionByName _)
       .filter(probeFilter && col("vid") =!= queryId)
-      .select(col("vid")).distinct()
+      .select(col("vid"))
+    // the distinct's one exchange sized from the probed input, not the
+    // session constant (the candidate set is a handful of pruned
+    // bucket files; session-width reduce tasks measured as pure task
+    // floor). repartition on the key satisfies the aggregate's
+    // required distribution, so this is the SAME single exchange
+    // right-sized; capped at the session width so a huge probed read
+    // keeps full parallelism.
+    val distinctWidth = math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      graft.Adaptive.widthFor(candIds)).toInt
+    val cands = candIds.repartition(distinctWidth, col("vid")).distinct()
     val qArr = array(queryVec.map(v => lit(v)).toSeq: _*)
     live.map(d => spark.read.parquet(s"$d/vecs"))
       .reduce(_ unionByName _)
