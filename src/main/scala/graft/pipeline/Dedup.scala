@@ -54,7 +54,13 @@ object Dedup {
     // the whole pipeline materializes inside (materializeAndFree), so
     // every shuffle plans under an input-sized width instead of the
     // cluster-scale session constant (guide §2: derive partitioning
-    // from input size; clamped at the session setting at real scale)
+    // from input size; clamped at the session setting at real scale).
+    // A work-aware denser width (bytesPerPartition ÷ maxShingleDf, to
+    // spread the pair stage's m²-per-shingle aggregation) was measured
+    // this round and REJECTED: at sf0.1 it spread the ~2.3 s heavy
+    // stage but flooded the other 15 stages with task floors (40 → 240
+    // tasks, steady wall 2.79 → 3.11 s) — the pipeline is job-chain-
+    // bound, not stage-bound, at clamped sizes.
     graft.Adaptive.withShuffleWidth(spark,
       graft.Adaptive.widthFor(docs), disableAqeWhenClamped = true) {
     // (doc_id, shingle-hash) rows straight from the tokenizer — no
@@ -446,10 +452,6 @@ object Dedup {
     def ckpt(df: DataFrame, eager: Boolean): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager)
       else df.localCheckpoint(eager)
-    val nodes = pairs.select(col(aCol).cast("long").as("id"))
-      .union(pairs.select(col(bCol).cast("long").as("id")))
-      .distinct()
-
     def signature(e: DataFrame): (Long, Long) = {
       // xor-fold of row hashes: order-insensitive over the DISTINCT
       // edge set and immune to ANSI long-sum overflow
@@ -492,26 +494,35 @@ object Dedup {
     // a second, redundant job per round. On a cluster deployment this
     // would be a reliable checkpoint to durable storage instead
     // (executor loss mid-loop restarts the loop, not the job).
-    var cur = ckpt(pairs
+    // ONE distinct over the raw pair rows, self-loops kept: the proper
+    // edge set, the node set (all pair endpoints, self-loop-only nodes
+    // included) and the loop signature all derive from it, so the fast
+    // path needs a single bounded collect instead of three jobs
+    // (signature + edge collect + endpoint-distinct collect).
+    val raw = ckpt(pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
       .distinct(), eager = false)
-    var curSig = signature(cur)
+    // one aggregation job: raw row count (gates the bounded collect),
+    // proper-edge count and the convergence signature (bit_xor skips
+    // the nulled self-loop rows — identical to signature() over the
+    // filtered edge set)
+    val r0 = raw.agg(count(lit(1)).as("nRaw"),
+      count(when(col("u") =!= col("v"), 1)).as("n"),
+      coalesce(bit_xor(when(col("u") =!= col("v"),
+        xxhash64(col("u"), col("v")))), lit(0L)).as("h")).head()
+    val nRaw = r0.getLong(0)
+    var curSig = (r0.getLong(1), r0.getLong(2))
     // Size-adaptive fast path: a bounded edge set resolves by driver
     // union-find in one collect (≤ threshold × 16 B ≈ 16 MB) — the
     // distributed loop's multi-stage scheduling floor per round is
     // pure overhead at this size, and the RESULT is identical (same
     // min-root labels, spec'd against the loop). The count gating the
-    // collect comes from the signature job that already ran.
-    if (curSig._1 > 0 && curSig._1 <= ccDriverThreshold(spark)) {
+    // collect comes from the aggregation job that already ran; gating
+    // on nRaw (≥ edge count) keeps the collect bounded even on a
+    // self-loop-heavy graph.
+    if (curSig._1 > 0 && nRaw <= ccDriverThreshold(spark)) {
       import spark.implicits._
-      val edges = cur.as[(Long, Long)].collect()
-      // label the SAME node set the distributed path labels: all pair
-      // endpoints including nodes appearing only in self-pairs (u==v,
-      // filtered out of `edges`) — otherwise the two paths diverge on
-      // self-loop-only nodes. Bounded like the edge collect (nodes ≤
-      // 2×pairs).
-      val allNodes = nodes.select(col("id")).as[Long].collect()
+      val rawRows = raw.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -522,16 +533,29 @@ object Dedup {
         }
         r
       }
-      edges.foreach { case (u, v) =>
-        val ru = find(u); val rv = find(v)
-        // union by MIN root: the surviving root is always the
-        // component minimum — the distributed loop's labeling rule
-        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      rawRows.foreach { case (u, v) =>
+        if (u != v) {
+          val ru = find(u); val rv = find(v)
+          // union by MIN root: the surviving root is always the
+          // component minimum — the distributed loop's labeling rule
+          if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+        }
       }
-      val labeled = allNodes.toSeq
-        .map((id: Long) => (id, find(id))).sortBy(_._1)
+      // label the SAME node set the distributed path labels: all pair
+      // endpoints including nodes appearing only in self-pairs
+      val labeled = rawRows.iterator
+        .flatMap(p => Iterator(p._1, p._2)).toSet
+        .toSeq.sorted.map((id: Long) => (id, find(id)))
+      // node-count-bounded local result: one partition (one output
+      // file, one consumer task) instead of defaultParallelism
+      // near-empty slices; coalesce preserves the sorted order
       return spark.createDataset(labeled).toDF("doc_id", "cluster_id")
+        .coalesce(1)
     }
+    val nodes = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id")))
+      .distinct()
+    var cur = raw.filter(col("u") =!= col("v"))
     var converged = curSig._1 == 0L
     var it = 0
     // Right-size the loop's shuffle width to the PAIR GRAPH, not the
@@ -628,12 +652,18 @@ object Dedup {
                           numBlocks: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // input-sized width for the cell shuffle (B(B+1)/2 keys — session
-    // width is pure waste below that), materialized inside like the
-    // other pair pipelines so the scope closes
-    graft.Adaptive.withShuffleWidth(spark,
-      graft.Adaptive.widthFor(emb), disableAqeWhenClamped = true) {
     val bN = math.max(1, numBlocks)
+    // Width for the cell shuffle from the WORK, not the input bytes:
+    // the groupByKey has exactly B(B+1)/2 keys and each key carries an
+    // O((n/B)²·dims) scoring loop, so the input-byte estimate (a few
+    // MB → ~4 partitions) starves the one compute-dense stage of the
+    // pipeline (measured at sf0.1: 3.2 s of task time serialized onto
+    // 5 tasks). One partition per cell is the natural shape; still
+    // capped at the session width, so a big cluster keeps its width.
+    val cells = bN.toLong * (bN + 1) / 2
+    graft.Adaptive.withShuffleWidth(spark,
+      math.max(graft.Adaptive.widthFor(emb), cells),
+      disableAqeWhenClamped = true) {
     val thr = threshold
     val cells = emb.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])]
@@ -686,8 +716,17 @@ object Dedup {
           Some(if (x._1 < y._1) (x._1, y._1, c) else (y._1, x._1, c))
         else None
       }
-    }.toDF("id_a", "id_b", "cos_r").orderBy("id_a", "id_b")
-      .transform(materializeAndFree())
+    }.toDF("id_a", "id_b", "cos_r")
+      // Cache the UNSORTED pair set first: the global sort's range-
+      // sampling job executes its child in full, and a reduce-side
+      // flatMapGroups (unlike map output feeding a shuffle) cannot be
+      // reused across jobs — sorting the raw stream paid the whole
+      // quadratic scoring pass TWICE (sample + count). Sorting the
+      // cached thresholded pairs pays it once; the sort itself touches
+      // only the (tiny) surviving pairs.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(unsorted => materializeAndFree(unsorted)(
+        unsorted.orderBy("id_a", "id_b")))
     }
   }
 }
